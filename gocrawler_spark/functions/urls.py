@@ -1,0 +1,87 @@
+"""URL toolkit as Spark column expressions (JVM-side, codegen-friendly).
+
+Reference semantics: getDomain crawler.go:283-297, getSecondLevelDomain
+crawler.go:299-313, isBanned crawler.go:319-331, linkSeemsOk
+crawler.go:333-382, CGI canonicalization crawler.go:444-451 (dead code
+in the reference — the validator rejects '?'-bearing URLs first; the
+engine adds a real RFC-3986-style canonicalizer for the scale path).
+
+All of these are pure column expressions: Catalyst folds them into the
+scan-side filter of the wave plan, so ban/validation predicates never
+shuffle and never leave the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from gocrawler_spark.config import REGEX_URL_VALID, CrawlConfig
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased hostname ('' when unparseable).
+
+    Lowercasing matches Python's ``urlparse().hostname`` (oracle side);
+    the reference keeps case but its validator is case-insensitive —
+    lowercase-on-both-sides keeps the comparison exact.
+    """
+    return F.lower(F.coalesce(F.try_parse_url(url, F.lit("HOST")), F.lit("")))
+
+
+def domain_of(url: Column) -> Column:
+    """getDomain: hostname minus one leading 'www.' (crawler.go:294)."""
+    return F.regexp_replace(host_of(url), r"^www\.", "")
+
+
+def second_level_domain_of(url: Column) -> Column:
+    """getSecondLevelDomain: last two dot-labels; single-label hosts
+    pass through unchanged (Go ReplaceAllString no-match behavior)."""
+    h = host_of(url)
+    sld = F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
+    return F.when(sld == "", h).otherwise(sld)
+
+
+def is_banned(url: Column, domain: Column, cfg: CrawlConfig) -> Column:
+    """isBanned: unanchored search on domain + url (crawler.go:319-331)."""
+    return domain.rlike(cfg.regex_banned_domains) | url.rlike(
+        cfg.regex_link_banned_tokens
+    )
+
+
+def link_seems_ok(url: Column, cfg: CrawlConfig, avoid_custom_check: bool) -> Column:
+    """linkSeemsOk: length 13..256 + structural regex (+ topical gate).
+
+    The structural regex (crawler.go:354) subsumes Go's
+    url.ParseRequestURI for http(s) URLs, so no UDF is needed.
+    """
+    ok = F.length(url).between(13, 256) & url.rlike(REGEX_URL_VALID)
+    if not avoid_custom_check:
+        ok = ok & url.rlike(cfg.regex_link_ok)
+    return ok
+
+
+def canonicalize(url: Column) -> Column:
+    """Engine-level RFC-3986-ish canonicalizer (north_rule addition; the
+    reference's CGI strip crawler.go:444-451 never fires).
+
+    lowercase scheme+host, strip fragment, strip trailing '?', drop
+    default ports. Applied BEFORE the seen-set in scale mode; exact
+    reference-parity mode bypasses it (the reference dedups on the raw
+    string).
+    """
+    u = F.regexp_replace(url, r"#.*$", "")  # strip fragment
+    u = F.regexp_replace(u, r"\?$", "")  # bare '?'
+    # lowercase scheme://host (group 1), keep the rest as-is
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
+        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1),
+    )
+    u = F.regexp_replace(u, r"^(https?://[^/:]+):(?:80|443)(/|$)", r"$1$2")
+    return u
+
+
+def url_key(url: Column) -> Column:
+    """64-bit dedup key for the seen-set: xxhash64 over the canonical
+    URL (Spark built-in, JVM-side)."""
+    return F.xxhash64(url)

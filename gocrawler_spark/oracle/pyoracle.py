@@ -1,0 +1,269 @@
+"""Pure-Python transliteration of the reference crawler's SEMANTICS
+(the wave=1 correctness oracle — SURVEY.md §5.2).
+
+This is NOT part of the Spark engine; it exists so tests can assert
+that the distributed engine reproduces the reference's crawl order,
+URL-seen set, curated docs, and corpus frequencies exactly. Every
+method cites the reference behavior it mirrors (/root/reference).
+
+Quirks intentionally reproduced:
+- getNextLink increments the WINNER's domain counter at selection time,
+  and increments pool[0]'s domain even when nothing is eligible
+  (crawler.go:386,420).
+- bootstrap rows (status 4) win unconditionally, first-in-pool-order
+  (crawler.go:395-402); ties on priority keep the earliest row
+  (strict '>', crawler.go:407).
+- normal pages expand links ONLY when the doc passes every gate —
+  the early returns skip addLinksOf (crawler.go:1214-1279,1401-1404);
+  bootstrap pages expand immediately after download (crawler.go:1110-1113).
+- CSV/ranking row is emitted BEFORE the burstiness gate
+  (crawler.go:1269-1279).
+- the frontier dedup key is the raw URL string; the reference's CGI
+  canonicalization is dead code (validator rejects '?') and is NOT
+  applied here.
+
+Deviation (documented): domainHadFailed compiles the domain string as a
+regex over the failure log (crawler.go:507-518) — dots match any char
+and malformed domains can panic Go. Here (and in the engine) it is an
+exact per-domain counter with the same `> 6` threshold.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from gocrawler_spark.config import CrawlConfig
+from gocrawler_spark.functions import pyref
+
+# fetcher: url -> (content, links, ok)
+Fetcher = Callable[[str], tuple[str, list[str], bool]]
+
+
+@dataclass
+class PoolEntry:
+    url: str
+    domain: str
+    count: int
+    status: int  # 0 pending, 1 crawling, 2 downloaded, 3 failed, 4 bootstrap
+
+
+@dataclass
+class OracleResult:
+    crawl_order: list[str] = field(default_factory=list)
+    accepted_docs: list[dict] = field(default_factory=list)  # url, curated, ...
+    ranking_rows: list[dict] = field(default_factory=list)  # CSV analog (S6)
+    corpus_freqs: dict[str, int] = field(default_factory=dict)
+    pool: list[PoolEntry] = field(default_factory=list)
+    domain_counter: dict[str, int] = field(default_factory=dict)
+    seen_urls: set[str] = field(default_factory=set)  # fetched (cache keys)
+
+
+class ReferenceOracle:
+    def __init__(self, cfg: CrawlConfig, fetcher: Fetcher, is_english=None):
+        self.cfg = cfg
+        self.fetch = fetcher
+        # deterministic stand-in for whatlanggo (crawler.go:1144-1149)
+        self.is_english = is_english or (lambda p: "zzforeignzz" not in p)
+        self.pool: list[PoolEntry] = []
+        self.domain_counter: dict[str, int] = {}
+        self.fail_log: dict[str, int] = {}
+        self.cache: dict[str, tuple[str, list[str], bool]] = {}
+        self.unique_signature: dict[str, str] = {}
+        self.res = OracleResult(
+            pool=self.pool, domain_counter=self.domain_counter
+        )
+
+    # ---- frontier ---------------------------------------------------------
+
+    def add_link(self, link: str, avoid_filters: bool) -> bool:
+        """addLink — crawler.go:425-470."""
+        cfg = self.cfg
+        domain = pyref.get_domain(link)
+        if not pyref.link_seems_ok(link, avoid_filters, cfg):
+            return False
+        if not avoid_filters:
+            if domain == "":
+                return False
+            if pyref.is_banned(link, domain, cfg):
+                return False
+            # CGI strip (crawler.go:444-451) is dead code: the validator
+            # already rejected any '?'-bearing URL.
+        for entry in self.pool:
+            if entry.url == link:
+                entry.count += 1
+                return True
+        self.pool.append(
+            PoolEntry(link, domain, 1, 4 if avoid_filters else 0)
+        )
+        return True
+
+    def bootstrap(self):
+        """linkBootstraping — crawler.go:472-478."""
+        for l in self.cfg.bootstrapping_links:
+            self.add_link(l, True)
+
+    def get_next_link(self) -> tuple[int, str]:
+        """getNextLink — crawler.go:384-423."""
+        cfg = self.cfg
+        maxi, max_url, max_priority = 0, "", 0.0
+        if not self.pool:
+            return 0, ""
+        for i, e in enumerate(self.pool):
+            if e.status == 4:
+                maxi, max_url = i, e.url
+                break
+            priority = (e.count * e.count) / (
+                self.domain_counter.get(e.domain, 0) + 1.0
+            )
+            if (
+                e.status == 0
+                and priority > max_priority
+                and not pyref.is_banned(e.url, e.domain, cfg)
+                and pyref.link_seems_ok(e.url, True, cfg)
+            ):
+                maxi, max_url, max_priority = i, e.url, priority
+        winner_domain = self.pool[maxi].domain
+        self.domain_counter[winner_domain] = (
+            self.domain_counter.get(winner_domain, 0) + 1
+        )
+        return maxi, max_url
+
+    def add_links_of(self, next_link: str, links: list[str]):
+        """addLinksOf — crawler.go:1063-1080 (intra-site drop)."""
+        parent_sld = pyref.get_second_level_domain(next_link)
+        for link in links:
+            if parent_sld in pyref.get_domain(link):
+                continue
+            self.add_link(link, False)
+
+    # ---- fetch ------------------------------------------------------------
+
+    def download_cached(self, url: str) -> tuple[str, list[str], bool]:
+        """downloadCached — crawler.go:249-281 + failure politeness
+        (crawler.go:192-198, 503-518)."""
+        if url in self.cache:
+            return self.cache[url]
+        domain = pyref.get_domain(url)
+        if self.fail_log.get(domain, 0) > self.cfg.max_domain_failures:
+            return "", [], False  # refused — NOT recorded as new failure
+        content, links, ok = self.fetch(url)
+        if not ok:
+            self.fail_log[domain] = self.fail_log.get(domain, 0) + 1
+            return "", [], False
+        self.cache[url] = (content, links, True)
+        self.res.seen_urls.add(url)
+        return content, links, True
+
+    # ---- document pipeline (doNextLink crawler.go:1082-1406) --------------
+
+    def curate(self, content: str) -> tuple[list[str], str]:
+        """Paragraph pipeline (crawler.go:1121-1211): language gate,
+        scrubs, html-attr drop (tested against the ORIGINAL paragraph),
+        stopword-ratio floor; returns (kept paragraphs, best paragraph
+        input list is the post-scrub array)."""
+        cfg = self.cfg
+        paragraphs = pyref.split_paragraphs(content)
+        out = []
+        for p in paragraphs:
+            if not self.is_english(p):
+                out.append("")
+                continue
+            p5 = pyref._rx(r"(?i)\W([^ \t]*/[^ \t]*)\W").sub(" ", p)
+            p5 = pyref._rx(r"(?i)(<(p|img|div)[^>]*>)").sub(" ", p5)
+            p5 = pyref._rx(r"(?i)\W([^ \t\n]{80,})\W").sub(" ", p5)
+            # NB: attr-drop regex runs against the ORIGINAL p (crawler.go:1172)
+            if pyref._rx(
+                r'(?i)\W(div|img|nofollow|javascript:|'
+                r'(alt|class|style|width|height|onclick)="[^"]*")\W'
+            ).search(p):
+                out.append("")
+                continue
+            num_stop = pyref.stopwords_count(p5, cfg)
+            num_tok = pyref.tokens_count(p5)
+            if num_stop / (num_tok + 1) < 0.1:
+                out.append("")
+            else:
+                out.append(p5)
+        return out, pyref.best_paragraph(out, cfg)
+
+    def do_next_link(self) -> bool:
+        """One reference loop iteration — crawler.go:1082-1406."""
+        cfg = self.cfg
+        maxi, next_link = self.get_next_link()
+        if next_link == "":
+            return False
+        prev_state = self.pool[maxi].status
+        self.pool[maxi].status = 1
+        self.res.crawl_order.append(next_link)
+
+        content, links, ok = self.download_cached(next_link)
+        self.pool[maxi].status = 2 if ok else 3
+
+        if prev_state == 4 and self.pool[maxi].status == 2:
+            self.add_links_of(next_link, links)
+
+        paragraphs, best_p = self.curate(content)
+
+        curated = ""
+        for p in paragraphs:
+            if len(p) < 200:  # CHARACTER length (crawler.go:1195)
+                continue
+            ratio = pyref.stopwords_count(p, cfg) / (pyref.tokens_count(p) + 1)
+            if ratio < 0.1 or ratio > 0.38:
+                continue
+            curated = curated + "\n" + p
+
+        doc_len = pyref.tokens_count(curated)
+        if doc_len > cfg.max_doc_len or doc_len < cfg.min_doc_len:
+            return True  # no link expansion (early return)
+
+        f_doc = pyref.term_freq(curated, cfg)
+        f_doc["the"] = 0  # crawler.go:1231
+        g_doc = pyref.rsort_freq(f_doc)
+        signature = pyref.signature_of(f_doc)
+
+        if self.unique_signature.get(signature, "") == "":
+            self.unique_signature[signature] = next_link
+        else:
+            return True  # near-duplicate (crawler.go:1248-1255)
+
+        score = pyref.ranking_by_keywords(curated, cfg)
+        if score < cfg.score_threshold:
+            return True
+
+        self.res.ranking_rows.append(
+            {
+                "score": round(score, 2),
+                "doc_len": doc_len,
+                "signature": signature,
+                "url": next_link,
+                "best_paragraph": best_p,
+            }
+        )
+
+        max_ratio = g_doc[0][1] / (1 + doc_len) if g_doc else 0.0
+        if max_ratio > 0.1 or max_ratio < 0.002:
+            return True  # burstiness gate (crawler.go:1276-1279)
+
+        # corpusFreqs.add re-analyzes curated content from scratch, so
+        # "the" IS counted here (crawler.go:1282) even though f_doc had
+        # it zeroed — that's what makes the A6 "the"-anchor check work.
+        for tok, n in pyref.term_freq(curated, cfg).items():
+            self.res.corpus_freqs[tok] = self.res.corpus_freqs.get(tok, 0) + n
+        self.res.accepted_docs.append(
+            {"url": next_link, "curated": curated, "doc_len": doc_len,
+             "signature": signature, "score": score}
+        )
+
+        if prev_state == 0 and self.pool[maxi].status == 2:
+            self.add_links_of(next_link, links)
+        return True
+
+    def run(self, max_iters: int = 10_000) -> OracleResult:
+        """main loop — crawler.go:1536-1540."""
+        self.bootstrap()
+        for _ in range(max_iters):
+            if not self.do_next_link():
+                break
+        return self.res

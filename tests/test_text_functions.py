@@ -1,0 +1,124 @@
+"""Parity tests: Spark column layer == pure-Python reference semantics
+on adversarial fixtures (unicode tokens, adjacent stopwords, 1-2 char
+tokens, numbers, keyword shadowing)."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gocrawler_spark.config import covid_profile
+from gocrawler_spark.functions import pyref
+from gocrawler_spark.functions import text as T
+
+CFG = covid_profile()
+
+FIXTURES = [
+    "The quick brown fox jumps over the lazy dog",
+    "covid-19 testing and the vaccine rollout of 2020",
+    "a an of by 12 345 xy z the them theme",
+    "Müller naïve café 北京 tokyo2020 ångström",
+    "the the the a a covid covid vaccine",
+    "  \t leading and trailing \n separators  ",
+    "one,two;three.four!five?six",
+    "",
+    "covid covid covid pandemic pandemic virus",
+    "news newss new update updates updated updatesd",
+]
+
+
+def test_tokenize_parity(spark):
+    df = spark.createDataFrame([Row(i=i, t=t) for i, t in enumerate(FIXTURES)])
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", T.tokens_of(F.col("t")).alias("toks")).collect()
+    }
+    for i, t in enumerate(FIXTURES):
+        assert got[i] == pyref.tokenize(t), f"fixture {i}: {t!r}"
+
+
+def test_analyze_parity(spark):
+    df = spark.createDataFrame([Row(i=i, t=t) for i, t in enumerate(FIXTURES)])
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select(
+            "i", T.analyzed_tokens(F.col("t"), CFG).alias("toks")
+        ).collect()
+    }
+    for i, t in enumerate(FIXTURES):
+        assert got[i] == pyref.analyze(t, CFG), f"fixture {i}: {t!r}"
+
+
+def test_analyze_drops_expected_classes():
+    toks = pyref.analyze("a an of 12 covid xy the theme vaccine", CFG)
+    # 1-2 char tokens, numbers, stopwords gone; "the" SURVIVES
+    # (engStopWordsWOthe — crawler.go:1418), content words stay.
+    assert toks == ["covid", "the", "theme", "vaccine"]
+
+
+def test_stopwords_count_parity(spark):
+    df = spark.createDataFrame([Row(i=i, t=t) for i, t in enumerate(FIXTURES)])
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", T.stopwords_count(F.col("t"), CFG).alias("c")
+        ).collect()
+    }
+    for i, t in enumerate(FIXTURES):
+        assert got[i] == pyref.stopwords_count(t, CFG), f"fixture {i}: {t!r}"
+
+
+def test_stopwords_count_adjacent_shadowing():
+    # "a a a" padded → non-overlapping \W(stop)\W scan sees only 2
+    # (crawler.go:609-619 semantics; doubling is NOT applied here).
+    assert pyref.stopwords_count("a a a", CFG) == 2
+
+
+def test_ranking_parity(spark):
+    df = spark.createDataFrame([Row(i=i, t=t) for i, t in enumerate(FIXTURES)])
+    got = {
+        r["i"]: r["s"]
+        for r in df.select(
+            "i", T.ranking_by_keywords(F.col("t"), CFG).alias("s")
+        ).collect()
+    }
+    for i, t in enumerate(FIXTURES):
+        assert got[i] == pytest.approx(
+            pyref.ranking_by_keywords(t, CFG), abs=1e-12
+        ), f"fixture {i}: {t!r}"
+
+
+def test_ranking_distinct_and_minlen():
+    # 'covid' twice → counted once; keywords shorter than 3 ignored.
+    t = " covid covid vaccine "
+    # tokens = 3 → 100*2/sqrt(4) = 100.0
+    assert pyref.ranking_by_keywords(t, CFG) == pytest.approx(100.0)
+
+
+def test_rsort_freq_total_order():
+    f = {"b": 2, "a": 2, "c": 1, "z": 2}
+    assert pyref.rsort_freq(f) == [("z", 2), ("b", 2), ("a", 2), ("c", 1)]
+
+
+def test_signature_format():
+    f = {"covid": 5, "virus": 3, "the": 0}
+    sig = pyref.signature_of(f, k=7)
+    assert sig == "[covid virus the]"
+
+
+def test_signature_expr_parity(spark):
+    rows = [
+        Row(doc=0, tc=[Row(count=5, token="covid"), Row(count=3, token="virus"),
+                       Row(count=3, token="alpha"), Row(count=1, token="zz")]),
+    ]
+    df = spark.createDataFrame(rows)
+    got = df.select(T.signature_expr(F.col("tc")).alias("sig")).first()["sig"]
+    assert got == pyref.signature_of({"covid": 5, "virus": 3, "alpha": 3, "zz": 1})
+
+
+def test_paragraph_split_parity(spark):
+    t = "one\n\ntwo\r\nthree\rfour"
+    df = spark.createDataFrame([Row(t=t)])
+    got = df.select(T.paragraphs_of(F.col("t")).alias("p")).first()["p"]
+    assert got == pyref.split_paragraphs(t) == ["one", "two", "three", "four"]
