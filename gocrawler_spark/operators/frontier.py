@@ -1,0 +1,208 @@
+"""Frontier operators: link ingestion, dedup + in-degree merge,
+deterministic wave selection.
+
+Reference semantics: addLink crawler.go:425-470 (F4/F5/A4), addLinksOf
+crawler.go:1063-1080 (F6), getNextLink crawler.go:384-423 (F7/F8/A3).
+
+Spark-first design:
+- the frontier is a DataFrame `(url, domain, count, status, seq,
+  eligible)`; `seq` is the monotone insertion id that reproduces the
+  reference's insertion-order tiebreak; `eligible` precomputes the
+  selection-time `!isBanned && linkSeemsOk(url, true)` predicate
+  (crawler.go:407) once at insert.
+- wave-local dedup is a groupBy on the URL (one shuffle, map-side
+  combine); cross-wave dedup + in-degree merge is a full outer join on
+  url — at scale both sides are bucketed/partitioned by xxhash64(url)
+  so the join is co-located (see plans/crawl.py notes).
+- selection is a ranking window partitioned by domain (top-k per host)
+  + a global TakeOrderedAndProject — no driver-side loop.
+
+Status codes follow the reference (crawler.go:88): 0 pending,
+1 crawling, 2 downloaded, 3 failed, 4 bootstrapping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gocrawler_spark.config import CrawlConfig
+from gocrawler_spark.functions import urls as U
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("domain", T.StringType(), True),
+        T.StructField("count", T.LongType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("eligible", T.BooleanType(), False),
+    ]
+)
+
+
+def empty_frontier(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], FRONTIER_SCHEMA)
+
+
+def bootstrap_frontier(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
+    """linkBootstraping (crawler.go:472-478): seed rows, status 4,
+    validated with avoidCustomCheck=True but exempt from ban filters."""
+    rows = [(u, i) for i, u in enumerate(cfg.bootstrapping_links)]
+    df = spark.createDataFrame(rows, "url string, seq long")
+    df = df.filter(U.link_seems_ok(F.col("url"), cfg, avoid_custom_check=True))
+    return df.select(
+        "url",
+        U.domain_of(F.col("url")).alias("domain"),
+        F.lit(1).cast("long").alias("count"),
+        F.lit(4).alias("status"),
+        "seq",
+        F.lit(True).alias("eligible"),  # status-4 selection skips checks
+    )
+
+
+def candidate_links(pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Explode a fetched wave's out-links and apply the reference's
+    insert-time filters (F2/F3/F6).
+
+    Input: (url, seq, links array<string>) — parent rows.
+    Output: (url, domain, delta, parent_seq, pos) — one row per ACCEPTED
+    link occurrence, pre-aggregated per URL within the wave.
+
+    Filters, in reference order (addLinksOf → addLink):
+      1. intra-site drop: parent SLD contained in child domain
+         (crawler.go:1068)
+      2. linkSeemsOk with the topical gate (avoidFilters=false)
+      3. domain != ''
+      4. isBanned
+    (CGI canonicalization is dead code in the reference — see
+    functions/urls.py.)
+    """
+    parent_sld = F.col("parent_sld")
+    ex = pages.select(
+        F.col("seq").alias("parent_seq"),
+        U.second_level_domain_of(F.col("url")).alias("parent_sld"),
+        F.posexplode("links").alias("pos", "link"),
+    )
+    child_domain = U.domain_of(F.col("link"))
+    ok = (
+        ~child_domain.contains(parent_sld)
+        & U.link_seems_ok(F.col("link"), cfg, avoid_custom_check=False)
+        & (child_domain != "")
+        & ~U.is_banned(F.col("link"), child_domain, cfg)
+    )
+    cand = ex.filter(ok).select(
+        F.col("link").alias("url"),
+        child_domain.alias("domain"),
+        "parent_seq",
+        "pos",
+    )
+    # wave-local dedup + in-degree: one shuffle, map-side combine.
+    # min(parent_seq, pos) keeps the FIRST occurrence for the insertion
+    # order of brand-new URLs (reference appends on first sight).
+    return cand.groupBy("url", "domain").agg(
+        F.count(F.lit(1)).alias("delta"),
+        F.min(F.struct("parent_seq", "pos")).alias("first_at"),
+    )
+
+
+def merge_into_frontier(
+    frontier: DataFrame, cand: DataFrame, cfg: CrawlConfig
+) -> DataFrame:
+    """F5/A4 cross-wave merge: existing URLs get count += delta; new
+    URLs are appended with insertion seq = max_seq + rank by
+    (first parent_seq, first pos) — reproducing the reference's
+    append order exactly at wave=1.
+
+    Scale note: this is a full outer join on `url`. At 1e10 frontier
+    rows both sides are hash-partitioned on url (the frontier table is
+    written bucketed by xxhash64(url)), so Catalyst plans a co-located
+    sort-merge join with no frontier re-shuffle; the candidate side is
+    orders of magnitude smaller per wave. A sharded Bloom filter
+    (operators/bloom.py) cheaply pre-splits cand into likely-seen vs
+    definitely-new to shrink the join's probe side.
+    """
+    max_seq = frontier.agg(F.max("seq")).first()[0]
+    base = (max_seq if max_seq is not None else -1) + 1
+
+    joined = frontier.alias("f").join(cand.alias("c"), "url", "full_outer")
+    existing = joined.filter(F.col("f.seq").isNotNull()).select(
+        "url",
+        F.col("f.domain").alias("domain"),
+        (F.col("f.count") + F.coalesce(F.col("c.delta"), F.lit(0))).alias("count"),
+        F.col("f.status").alias("status"),
+        F.col("f.seq").alias("seq"),
+        F.col("f.eligible").alias("eligible"),
+    )
+    new = (
+        joined.filter(F.col("f.seq").isNull())
+        .select("url", F.col("c.domain").alias("domain"),
+                F.col("c.delta").alias("count"), F.col("c.first_at").alias("first_at"))
+        .withColumn(
+            "seq",
+            F.lit(base)
+            + F.row_number().over(Window.orderBy("first_at")).cast("long")
+            - 1,
+        )
+        .select(
+            "url",
+            "domain",
+            F.col("count").cast("long"),
+            F.lit(0).alias("status"),
+            "seq",
+            # candidates already passed insert-time filters, and they are
+            # stricter than the selection-time re-check (crawler.go:407)
+            F.lit(True).alias("eligible"),
+        )
+    )
+    return existing.unionByName(new)
+
+
+def select_wave(
+    frontier: DataFrame,
+    domain_counter: DataFrame,
+    wave_size: int,
+    per_host_budget: int,
+) -> DataFrame:
+    """getNextLink generalized to waves (F7/F8).
+
+    priority = count² / (domain_counter[domain] + 1)   (crawler.go:405)
+
+    Total order: bootstrap rows first (by seq), then priority desc,
+    seq asc — with wave_size=1 this reproduces the reference's
+    selection (bootstrap short-circuit crawler.go:395-402; strict '>'
+    keeps the earliest row on ties crawler.go:407).
+
+    Scale mode: a per-host ranking window caps each host at
+    `per_host_budget` (politeness + skew control — one hot host cannot
+    monopolize a wave), then a global TakeOrderedAndProject picks the
+    wave. domain_counter is tiny (one row per host) → broadcast join.
+    """
+    pending = frontier.filter((F.col("status") == 0) & F.col("eligible") | (F.col("status") == 4))
+    scored = (
+        pending.join(F.broadcast(domain_counter), "domain", "left")
+        .withColumn(
+            "priority",
+            (F.col("count") * F.col("count")).cast("double")
+            / (F.coalesce(F.col("n_scheduled"), F.lit(0)) + F.lit(1.0)),
+        )
+        .withColumn("is_boot", (F.col("status") == 4).cast("int"))
+        # bootstrap rows win by POOL ORDER regardless of priority
+        # (crawler.go:395-402 breaks on the first status-4 row)
+        .withColumn(
+            "order_priority",
+            F.when(F.col("status") == 4, F.lit(0.0)).otherwise(F.col("priority")),
+        )
+    )
+    if per_host_budget > 0 and wave_size > 1:
+        w = Window.partitionBy("domain").orderBy(
+            F.desc("is_boot"), F.desc("order_priority"), F.asc("seq")
+        )
+        scored = scored.withColumn("host_rank", F.row_number().over(w)).filter(
+            F.col("host_rank") <= per_host_budget
+        )
+    sel = scored.orderBy(
+        F.desc("is_boot"), F.desc("order_priority"), F.asc("seq")
+    ).limit(wave_size)
+    return sel.select("url", "domain", "count", "status", "seq", "priority")

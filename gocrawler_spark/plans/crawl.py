@@ -1,0 +1,343 @@
+"""The crawl engine: iterative batch "waves" over DataFrame state.
+
+Each wave is ONE declarative DataFrame job graph (SURVEY.md §2.8):
+
+    frontier ──select (window/top-k per host + global ordered limit)
+            ──fetch (anti-join pages cache → Arrow-batched pandas UDF,
+                      politeness fail-count refusal)
+            ──┬─ curation column chain → gates → signature dedup
+              │      → accepted docs → corpus_freq MERGE
+              └─ link explode → validate/ban filters → wave-local
+                 groupBy dedup → frontier full-outer MERGE
+
+With wave_size=1 the engine reproduces the reference's sequential
+schedule exactly (crawl order, URL-seen set, accepted docs, corpus
+frequencies — verified against oracle/pyoracle.py). With wave_size=k
+it is the scale mode: the same plan, more rows per wave.
+
+Scale design (100 TB / 1e10-URL frontier):
+- frontier and pages tables are hash-partitioned on url (bucketed
+  xxhash64) so the per-wave MERGE joins are co-located;
+- domain_counter / fail_counts are one-row-per-host dims → broadcast;
+- the fetch stage repartitions the wave by domain (optionally salted:
+  xxhash64(domain) + pos % salt for hot hosts) so politeness is
+  group-local and skew is bounded by per_host_budget;
+- state lineage is truncated per wave via localCheckpoint (test mode)
+  or parquet snapshots + a JSON manifest (resume mode — an
+  Iceberg-style shim; see TableStore).
+
+The network fetcher is pluggable; tests/bench use the deterministic
+synthetic web (sources/synthetic_web.py). Replaces reference
+crawler.go:1082-1406,1477-1543.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gocrawler_spark.config import CrawlConfig
+from gocrawler_spark.operators import corpus as CO
+from gocrawler_spark.operators import curation as CU
+from gocrawler_spark.operators import frontier as FR
+
+FETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("links", T.ArrayType(T.StringType()), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def pandas_fetcher(fetch_fn) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Wrap a python fetch function (url -> (content, links, ok)) into a
+    mapInPandas batch function (Arrow transfer, no per-row Python in
+    Spark's row pipeline — the fetch itself is inherently per-URL)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"url": [], "content": [], "links": [], "ok": []}
+            for u in pdf["url"]:
+                c, l, ok = fetch_fn(u)
+                out["url"].append(u)
+                out["content"].append(c)
+                out["links"].append(l)
+                out["ok"].append(ok)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+@dataclass
+class CrawlState:
+    frontier: DataFrame
+    domain_counter: DataFrame  # (domain, n_scheduled)
+    fail_counts: DataFrame  # (domain, n_failed)
+    pages: DataFrame  # (url, content, links, ok)
+    signatures: DataFrame  # (signature, url)
+    corpus_freq: DataFrame  # (token, count)
+    crawl_log: DataFrame  # (wave, sel_rank, url, domain, seq, status_after)
+    accepted: DataFrame  # accepted docs
+    ranking_rows: DataFrame  # S6 CSV analog
+    wave: int = 0
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: CrawlConfig,
+        fetch_fn=None,
+        lang_gate=CU.default_lang_gate,
+        checkpoint_dir: str | None = None,
+    ):
+        from gocrawler_spark.sources import synthetic_web
+
+        self.spark = spark
+        self.cfg = cfg
+        self.fetch_fn = fetch_fn or synthetic_web.fetch_page
+        self.lang_gate = lang_gate
+        self.checkpoint_dir = checkpoint_dir
+        self.state = self._init_state()
+
+    # ------------------------------------------------------------------
+
+    def _df(self, schema: str) -> DataFrame:
+        return self.spark.createDataFrame([], schema)
+
+    def _init_state(self) -> CrawlState:
+        s = self.spark
+        return CrawlState(
+            frontier=FR.bootstrap_frontier(s, self.cfg),
+            domain_counter=self._df("domain string, n_scheduled long"),
+            fail_counts=self._df("domain string, n_failed long"),
+            pages=self._df(
+                "url string, content string, links array<string>, ok boolean"
+            ),
+            signatures=self._df("signature string, url string"),
+            corpus_freq=self._df("token string, count long"),
+            crawl_log=self._df(
+                "wave long, sel_rank int, url string, domain string, seq long,"
+                " status_after int"
+            ),
+            accepted=self._df(
+                "wave long, url string, curated string, doc_len int,"
+                " signature string, score double"
+            ),
+            ranking_rows=self._df(
+                "wave long, url string, score double, doc_len int,"
+                " signature string, best_paragraph string"
+            ),
+        )
+
+    def _pin(self, df: DataFrame) -> DataFrame:
+        """Truncate lineage between waves (iterative-algorithm hygiene)."""
+        return df.localCheckpoint(eager=True)
+
+    # ------------------------------------------------------------------
+
+    def step(self) -> bool:
+        """Run one wave. Returns False when the frontier is exhausted
+        (including the reference's terminal domain-counter quirk,
+        crawler.go:386,420)."""
+        st, cfg = self.state, self.cfg
+        sel = FR.select_wave(
+            st.frontier, st.domain_counter, cfg.wave_size, cfg.per_host_budget
+        )
+        sel = sel.withColumn(
+            "sel_rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.desc((F.col("status") == 4).cast("int")),
+                    F.desc(
+                        F.when(F.col("status") == 4, F.lit(0.0)).otherwise(
+                            F.col("priority")
+                        )
+                    ),
+                    F.asc("seq"),
+                )
+            ),
+        )
+        sel = self._pin(sel)
+        if sel.isEmpty():
+            # terminal quirk: getNextLink increments pool[0]'s domain
+            # even when nothing is eligible (crawler.go:386,420)
+            first = st.frontier.orderBy("seq").limit(1).select("domain")
+            st.domain_counter = self._pin(
+                CO.merge_freq(
+                    st.domain_counter.withColumnRenamed("n_scheduled", "count")
+                    .withColumnRenamed("domain", "token"),
+                    first.select(F.col("domain").alias("token"), F.lit(1).alias("count")),
+                )
+                .withColumnRenamed("token", "domain")
+                .withColumnRenamed("count", "n_scheduled")
+            )
+            return False
+
+        st.wave += 1
+        wave = st.wave
+
+        # A3: selection-time domain counter increment (crawler.go:420)
+        st.domain_counter = self._pin(
+            CO.merge_freq(
+                st.domain_counter.select(
+                    F.col("domain").alias("token"), F.col("n_scheduled").alias("count")
+                ),
+                sel.groupBy("domain").count().select(
+                    F.col("domain").alias("token"), F.col("count")
+                ),
+            ).select(F.col("token").alias("domain"), F.col("count").alias("n_scheduled"))
+        )
+
+        # ---- fetch stage (S1-S3): cache anti-join + politeness ----
+        cached = sel.join(st.pages.select("url", "content", "links", "ok"), "url")
+        to_fetch = sel.join(st.pages.select("url"), "url", "left_anti")
+        refused = to_fetch.join(
+            F.broadcast(
+                st.fail_counts.filter(F.col("n_failed") > cfg.max_domain_failures)
+            ),
+            "domain",
+        ).select("url")
+        fetchable = to_fetch.join(refused, "url", "left_anti")
+        # scale: repartition by domain bounds per-task host fan-out and
+        # keeps politeness group-local; per_host_budget bounds skew.
+        fetched_new = (
+            fetchable.repartition(F.col("domain"))
+            .select("url")
+            .mapInPandas(pandas_fetcher(self.fetch_fn), FETCH_SCHEMA)
+        )
+        fetched = self._pin(
+            fetched_new.unionByName(
+                refused.select(
+                    "url",
+                    F.lit("").alias("content"),
+                    F.array().cast("array<string>").alias("links"),
+                    F.lit(False).alias("ok"),
+                )
+            ).unionByName(cached.select("url", "content", "links", "ok"))
+        )
+
+        # politeness bookkeeping: only TRANSPORT failures count
+        # (refusals don't re-report — crawler.go:192-216,503-505)
+        new_fails = (
+            fetched_new.filter(~F.col("ok"))
+            .join(sel.select("url", "domain"), "url")
+            .groupBy("domain")
+            .count()
+        )
+        st.fail_counts = self._pin(
+            CO.merge_freq(
+                st.fail_counts.select(F.col("domain").alias("token"), F.col("n_failed").alias("count")),
+                new_fails.select(F.col("domain").alias("token"), F.col("count")),
+            ).select(F.col("token").alias("domain"), F.col("count").alias("n_scheduled"))
+            .withColumnRenamed("n_scheduled", "n_failed")
+        )
+
+        # S3 memoization: append newly fetched OK pages
+        st.pages = self._pin(
+            st.pages.unionByName(fetched_new.filter(F.col("ok")))
+        )
+
+        wave_rows = sel.join(fetched, "url").select(
+            "url", "domain", "seq", "sel_rank", "priority",
+            F.col("status").alias("prev_status"),
+            "content", "links", "ok",
+        )
+        wave_rows = self._pin(wave_rows)
+
+        # frontier status transitions (F10)
+        status_after = wave_rows.select(
+            "url", F.when(F.col("ok"), 2).otherwise(3).alias("new_status")
+        )
+        st.frontier = self._pin(
+            st.frontier.alias("f")
+            .join(status_after.alias("s"), "url", "left")
+            .select(
+                "url", "domain", "count",
+                F.coalesce(F.col("s.new_status"), F.col("f.status")).alias("status"),
+                "seq", "eligible",
+            )
+        )
+        st.crawl_log = self._pin(
+            st.crawl_log.unionByName(
+                wave_rows.join(status_after, "url").select(
+                    F.lit(wave).cast("long").alias("wave"),
+                    "sel_rank", "url", "domain", "seq",
+                    F.col("new_status").alias("status_after"),
+                )
+            )
+        )
+
+        # ---- document pipeline (T/P ops) ----
+        docs = wave_rows.filter(F.col("ok"))
+        curated = CU.curate_docs(
+            docs.select("url", "sel_rank", "prev_status", "links", "content"),
+            cfg,
+            lang_gate=self.lang_gate,
+            key_cols=("url", "sel_rank", "prev_status"),
+        )
+        gated = CU.doc_gates(curated, cfg)
+        len_ok = gated.filter(F.col("len_ok"))
+        # P5 first-wins: cross-wave anti-join + intra-wave window by
+        # selection order
+        sig_new = CU.signature_dedup(len_ok, st.signatures, [F.asc("sel_rank")])
+        sig_new = self._pin(sig_new)
+        st.signatures = self._pin(
+            st.signatures.unionByName(sig_new.select("signature", "url"))
+        )
+        scored = sig_new.filter(F.col("score") >= F.lit(cfg.score_threshold))
+        st.ranking_rows = self._pin(
+            st.ranking_rows.unionByName(
+                scored.select(
+                    F.lit(wave).cast("long").alias("wave"), "url", "score",
+                    F.col("doc_len").cast("int"), "signature", "best_paragraph",
+                )
+            )
+        )
+        accepted = scored.filter(F.col("burst_ok"))
+        accepted = self._pin(accepted)
+        st.accepted = self._pin(
+            st.accepted.unionByName(
+                accepted.select(
+                    F.lit(wave).cast("long").alias("wave"), "url", "curated",
+                    F.col("doc_len").cast("int"), "signature", "score",
+                )
+            )
+        )
+
+        # A2: corpus frequency MERGE from accepted docs
+        delta = CO.token_freq(accepted.select("curated"), cfg)
+        st.corpus_freq = self._pin(CO.merge_freq(st.corpus_freq, delta))
+
+        # ---- link expansion (F6/F5/A4) ----
+        # bootstrap pages expand immediately (crawler.go:1110-1113);
+        # normal pages ONLY when the doc passed every gate
+        # (crawler.go:1401-1404 — the early returns skip addLinksOf)
+        boot_parents = wave_rows.filter(
+            (F.col("prev_status") == 4) & F.col("ok")
+        ).select("url", "seq", "links")
+        accepted_parents = (
+            accepted.filter(F.col("prev_status") == 0)
+            .select("url")
+            .join(wave_rows.select("url", "seq", "links"), "url")
+            .select("url", "seq", "links")
+        )
+        parents = boot_parents.unionByName(accepted_parents)
+        cand = FR.candidate_links(parents, cfg)
+        st.frontier = self._pin(FR.merge_into_frontier(st.frontier, cand, cfg))
+        return True
+
+    def run(self, max_steps: int = 1000) -> CrawlState:
+        for _ in range(max_steps):
+            if not self.step():
+                break
+        return self.state

@@ -1,0 +1,51 @@
+"""Query registry for the driver's correctness gate.
+
+Every implemented operator from SURVEY.md §2 (plus the training-data
+pipeline extensions) is exposed twice:
+
+- a Spark callable ``(spark, sf_dir) -> DataFrame`` (the engine path),
+- an equivalent ANSI-SQL string runnable by DuckDB on the same parquet
+  tables (the oracle path).
+
+Conventions that keep the driver's order-insensitive value-hash
+comparison exact:
+- every computed column is aliased identically on both sides;
+- float results are emitted as ``*_micro`` BIGINT (round(x*1e6)) —
+  double arithmetic is kept identical on both sides (IEEE ops in the
+  same order) and integerized before hashing;
+- sums of doubles are computed as sums of pre-rounded BIGINTs
+  (order-independent), never as float SUM (which is
+  association-order-dependent and differs across engines);
+- top-k queries use a deterministic total order (count desc, key desc
+  — the reference's rSortFreq order, crawler.go:705-718).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle_sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle_sql is not None:
+            ORACLES[name] = oracle_sql
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# import for registration side effects
+from gocrawler_spark.queries import crawler_q  # noqa: E402,F401
+from gocrawler_spark.queries import dedup_q  # noqa: E402,F401
+from gocrawler_spark.queries import rel_q  # noqa: E402,F401
+from gocrawler_spark.queries import text_q  # noqa: E402,F401

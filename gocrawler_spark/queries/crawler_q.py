@@ -1,0 +1,463 @@
+r"""Crawler-semantics queries over the driver testdata (documents
+table) — each is an operator from SURVEY.md §2 re-expressed over
+`documents(doc_id, text, lang, source, n_chars)` with a DuckDB oracle.
+
+Shared parity machinery: tokenization = `[^\p{L}\p{N}]+` split of
+lower(text) (reference tokenize crawler.go:528-533 + lowercaseFilter),
+stopword filter = full-token match of the reference's assembled
+alternation (crawler.go:1420) — identical regex strings on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gocrawler_spark.config import REGEX_URL_VALID, covid_profile
+from gocrawler_spark.functions import text as TX
+from gocrawler_spark.functions import urls as U
+from gocrawler_spark.operators import corpus as CO
+from gocrawler_spark.queries import load, register
+
+# documents-table vocabulary keywords (the covid list never matches the
+# synthetic docs; same scoring semantics, corpus-appropriate keywords)
+DOC_KEYWORDS = (
+    r"(?i)\W(spark|query|join|window|stream|hash|filter|sort|batch"
+    r"|merge|scan|shuffle|partition)\W"
+)
+CFG = covid_profile(regex_ranking_keywords=DOC_KEYWORDS)
+
+# ---- shared SQL fragments -------------------------------------------------
+
+TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),"
+    " x -> x <> '')"
+)
+STOP_RX = CFG.stop_token_fullmatch  # no quotes inside — safe to inline
+
+AN_TOKS_CTE = f"""
+an_toks AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS token
+  FROM documents WHERE lang = 'en'
+),
+an_filtered AS (
+  SELECT doc_id, token FROM an_toks
+  WHERE NOT regexp_matches(token, '{STOP_RX}')
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents")
+
+
+def _an_toks(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.col("lang") == "en").withColumn(
+        "_toks", TX.analyzed_tokens(F.col("text"), CFG)
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_freq_top100",
+    f"""
+WITH {AN_TOKS_CTE}
+SELECT token, count(*) AS cnt
+FROM an_filtered
+GROUP BY token
+ORDER BY cnt DESC, token DESC
+LIMIT 100
+""",
+)
+def corpus_freq_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+W1+W2: corpus term frequency, reference total order, top-100
+    (crawler.go:1282,1289-1293). One shuffle (map-side combine), then
+    TakeOrderedAndProject."""
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == "en")
+    freq = CO.token_freq(docs, CFG, text_col="text")
+    return CO.top_k(freq.withColumnRenamed("count", "cnt").select("token", "cnt"), 100)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "doc_token_stats",
+    f"""
+SELECT doc_id,
+       len({TOKS_SQL}) AS n_tokens,
+       len(list_filter({TOKS_SQL},
+           t -> NOT regexp_matches(t, '{STOP_RX}'))) AS n_analyzed
+FROM documents WHERE lang = 'en'
+""",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2/T7: per-doc token counts before/after the analyzer chain."""
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == "en")
+    return docs.select(
+        "doc_id",
+        TX.tokens_count(F.lower(F.col("text"))).alias("n_tokens"),
+        F.size(TX.analyzed_tokens(F.col("text"), CFG)).alias("n_analyzed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+_SIG_SQL = f"""
+WITH {AN_TOKS_CTE},
+tf AS (
+  SELECT doc_id, token,
+         CASE WHEN token = 'the' THEN 0 ELSE count(*) END AS cnt
+  FROM an_filtered GROUP BY doc_id, token
+),
+ranked AS (
+  SELECT doc_id, token, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, token DESC) AS rn
+  FROM tf
+)
+SELECT doc_id,
+       '[' || string_agg(token, ' ' ORDER BY rn) || ']' AS signature
+FROM ranked WHERE rn <= 7 GROUP BY doc_id
+"""
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _an_toks(_docs(spark, sf_dir)).filter(F.size("_toks") > 0)
+    tc = F.transform(
+        F.array_distinct(F.col("_toks")),
+        lambda t: F.struct(
+            F.when(t == "the", F.lit(0))
+            .otherwise(F.size(F.filter(F.col("_toks"), lambda x: x == t)))
+            .cast("long")
+            .alias("count"),
+            t.alias("token"),
+        ),
+    )
+    return docs.select("doc_id", TX.signature_expr(tc, k=7).alias("signature"))
+
+
+@register("doc_signature", _SIG_SQL)
+def doc_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+P5 signature build: top-7 tokens by (count desc, token desc)
+    with 'the' zeroed (crawler.go:1227-1246). Row-local array
+    aggregation — no shuffle at all."""
+    return _signatures(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "signature_dedup",
+    f"""
+WITH sigs AS ({_SIG_SQL})
+SELECT signature,
+       min(doc_id) AS first_doc,
+       count(*) AS n_docs
+FROM sigs GROUP BY signature
+""",
+)
+def signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 near-duplicate grouping: first doc with a signature wins
+    (crawler.go:1248-1255); one shuffle on signature."""
+    return (
+        _signatures(spark, sf_dir)
+        .groupBy("signature")
+        .agg(F.min("doc_id").alias("first_doc"), F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "keyword_ranking",
+    f"""
+SELECT doc_id,
+       len(list_distinct(list_transform(
+           list_filter(regexp_extract_all(text, '{DOC_KEYWORDS}', 1),
+                       k -> length(k) >= 3),
+           k -> lower(k)))) AS n_keywords,
+       CAST(round(100.0 * len(list_distinct(list_transform(
+           list_filter(regexp_extract_all(text, '{DOC_KEYWORDS}', 1),
+                       k -> length(k) >= 3),
+           k -> lower(k)))) / sqrt(1 + len({TOKS_SQL})) * 1e6) AS BIGINT)
+         AS score_micro
+FROM documents WHERE lang = 'en'
+""",
+)
+def keyword_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 rankingByKeywords (crawler.go:547-581): distinct keyword
+    matches scaled by 100/sqrt(1+tokens), integerized to micro."""
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == "en")
+    kws = TX.distinct_keywords(F.col("text"), CFG)
+    score = TX.ranking_by_keywords(F.col("text"), CFG)
+    return docs.select(
+        "doc_id",
+        F.size(kws).alias("n_keywords"),
+        F.round(score * 1e6).cast("bigint").alias("score_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+_STOP_COUNT_SQL = (
+    f"len(regexp_extract_all(' ' || text || ' ', '{CFG.regex_stopwords_count}', 1))"
+)
+
+
+@register(
+    "stopword_ratio_band",
+    f"""
+SELECT doc_id,
+       {_STOP_COUNT_SQL} AS n_stop,
+       len({TOKS_SQL}) AS n_tok,
+       CAST(round(CAST({_STOP_COUNT_SQL} AS DOUBLE) / (len({TOKS_SQL}) + 1) * 1e6)
+            AS BIGINT) AS ratio_micro,
+       CASE
+         WHEN CAST({_STOP_COUNT_SQL} AS DOUBLE) / (len({TOKS_SQL}) + 1) < 0.1
+           THEN 'nav'
+         WHEN CAST({_STOP_COUNT_SQL} AS DOUBLE) / (len({TOKS_SQL}) + 1) <= 0.38
+           THEN 'prose'
+         ELSE 'dense'
+       END AS band
+FROM documents
+""",
+)
+def stopword_ratio_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3 stopword-ratio classification (crawler.go:1181-1211) with
+    the reference's non-overlapping padded scan (crawler.go:609-619)."""
+    docs = _docs(spark, sf_dir)
+    n_stop = TX.stopwords_count(F.col("text"), CFG)
+    n_tok = TX.tokens_count(F.lower(F.col("text")))
+    ratio = n_stop.cast("double") / (n_tok + F.lit(1))
+    return docs.select(
+        "doc_id",
+        n_stop.alias("n_stop"),
+        n_tok.alias("n_tok"),
+        F.round(ratio * 1e6).cast("bigint").alias("ratio_micro"),
+        F.when(ratio < 0.1, "nav")
+        .when(ratio <= 0.38, "prose")
+        .otherwise("dense")
+        .alias("band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "background_subtract",
+    f"""
+WITH {AN_TOKS_CTE},
+corpus AS (
+  SELECT token, count(*) AS cnt FROM an_filtered GROUP BY token
+),
+baseline AS (
+  SELECT token, count(*) AS num_total
+  FROM (
+    SELECT doc_id, unnest({TOKS_SQL}) AS token
+    FROM documents WHERE lang <> 'en'
+  ) WHERE NOT regexp_matches(token, '{STOP_RX}')
+  GROUP BY token
+),
+anchor AS (
+  SELECT c.cnt AS obs,
+         coalesce(b.num_total, 0) AS base
+  FROM corpus c LEFT JOIN baseline b USING (token)
+  ORDER BY c.cnt DESC, c.token DESC LIMIT 1
+)
+SELECT c.token,
+       c.cnt - CAST(floor(
+           20.0 * (1.0 + coalesce(b.num_total, 0))
+           / ((1.0 + (SELECT base FROM anchor)) / (SELECT obs FROM anchor))
+       ) AS BIGINT) AS cnt
+FROM corpus c LEFT JOIN baseline b USING (token)
+""",
+)
+def background_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 background subtraction (crawler.go:1303-1341):
+    adj = observed - trunc(contrast*(1+baseline)/scale), scale anchored
+    on the corpus's top token (the reference hard-requires 'the' — the
+    testdata corpus is not natural English, so the anchor is the
+    computed top-1; formula identical). Baseline = non-English docs.
+    Broadcast join + scalar anchor."""
+    docs = _docs(spark, sf_dir)
+    corpus = CO.token_freq(docs.filter(F.col("lang") == "en"), CFG, "text").withColumnRenamed(
+        "count", "cnt"
+    )
+    baseline = CO.token_freq(docs.filter(F.col("lang") != "en"), CFG, "text").withColumnRenamed(
+        "count", "num_total"
+    )
+    top = corpus.join(baseline, "token", "left").orderBy(
+        F.desc("cnt"), F.desc("token")
+    ).first()
+    scale = (1.0 + (top["num_total"] or 0)) / float(top["cnt"])
+    j = corpus.join(F.broadcast(baseline), "token", "left")
+    adj = F.col("cnt") - F.floor(
+        F.lit(20.0)
+        * (F.lit(1.0) + F.coalesce(F.col("num_total"), F.lit(0)).cast("double"))
+        / F.lit(scale)
+    )
+    return j.select("token", adj.alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "bigrams_top100",
+    f"""
+WITH toklists AS (
+  SELECT doc_id, {TOKS_SQL} AS L FROM documents WHERE lang = 'en'
+),
+pos AS (
+  SELECT doc_id, L, unnest(range(1, len(L))) AS i FROM toklists WHERE len(L) > 1
+),
+grams AS (
+  SELECT L[i] || ' ' || L[i+1] AS bigram FROM pos
+)
+SELECT bigram, count(*) AS cnt
+FROM grams GROUP BY bigram
+HAVING count(*) >= 3
+ORDER BY cnt DESC, bigram DESC
+LIMIT 100
+""",
+)
+def bigrams_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/A7: sliding-window bigrams with the reference's rank<=100 /
+    freq>=3 bound (crawler.go:919-938). Array-native n-gram expansion
+    (no UDF), one shuffle on the gram."""
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == "en")
+    L = TX.tokens_of(F.lower(F.col("text")))
+    grams = F.when(
+        F.size(L) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(L) - 1),
+            lambda i: F.concat(
+                F.element_at(L, i), F.lit(" "), F.element_at(L, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 3)
+        .orderBy(F.desc("cnt"), F.desc("bigram"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+_URL_SYNTH_SQL = """
+CASE doc_id % 5
+  WHEN 0 THEN 'https://site' || (doc_id % 20) || '.example/topic-' || doc_id
+  WHEN 1 THEN 'https://en.wikipedia.org/wiki/page-' || doc_id
+  WHEN 2 THEN 'https://site' || (doc_id % 20) || '.example/page?id=' || doc_id
+  WHEN 3 THEN 'http://ab.io/a-' || doc_id
+  ELSE 'https://files' || (doc_id % 7) || '.example/doc-' || doc_id || '.pdf'
+END
+"""
+
+
+@register(
+    "url_validate",
+    f"""
+WITH u AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents)
+SELECT doc_id, url,
+       (length(url) BETWEEN 13 AND 256)
+         AND regexp_matches(url, '{REGEX_URL_VALID}') AS valid,
+       regexp_matches(regexp_replace(regexp_extract(url, '^https?://([^/]+)', 1),
+                                     '^www\\.', ''),
+                      '{CFG.regex_banned_domains}')
+         OR regexp_matches(url, '{CFG.regex_link_banned_tokens}') AS banned
+FROM u
+""",
+)
+def url_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3: the reference's URL validator + ban filters
+    (crawler.go:319-382) over a synthesized URL column — pure scan-side
+    predicates (no shuffle, codegen regex)."""
+    docs = _docs(spark, sf_dir)
+    url = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("https://site"), (F.col("doc_id") % 20).cast("string"),
+                F.lit(".example/topic-"), F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("https://en.wikipedia.org/wiki/page-"),
+                     F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("https://site"), (F.col("doc_id") % 20).cast("string"),
+                F.lit(".example/page?id="), F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("http://ab.io/a-"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://files"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example/doc-"), F.col("doc_id").cast("string"),
+                F.lit(".pdf"),
+            )
+        )
+    )
+    df = docs.select("doc_id", url.alias("url"))
+    return df.select(
+        "doc_id",
+        "url",
+        U.link_seems_ok(F.col("url"), CFG, avoid_custom_check=True).alias("valid"),
+        U.is_banned(F.col("url"), U.domain_of(F.col("url")), CFG).alias("banned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "frontier_priority_topk",
+    """
+WITH fr AS (
+  SELECT 'site' || (doc_id % 20) || '.example' AS host,
+         doc_id AS seq,
+         (doc_id * 7) % 13 + 1 AS cnt,
+         doc_id % 5 AS fetches
+  FROM documents
+),
+scored AS (
+  SELECT host, seq, cnt,
+         CAST(cnt AS DOUBLE) * cnt / (fetches + 1.0) AS priority
+  FROM fr
+),
+ranked AS (
+  SELECT host, seq,
+         CAST(round(priority * 1e6) AS BIGINT) AS priority_micro,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY priority DESC, seq ASC) AS rnk
+  FROM scored
+)
+SELECT host, seq, priority_micro, rnk FROM ranked WHERE rnk <= 3
+""",
+)
+def frontier_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8: priority = count²/(fetches+1) + deterministic top-k per
+    host window (priority desc, seq asc — the reference's
+    insertion-order tiebreak, crawler.go:384-423)."""
+    docs = _docs(spark, sf_dir)
+    fr = docs.select(
+        F.concat(F.lit("site"), (F.col("doc_id") % 20).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.col("doc_id").alias("seq"),
+        ((F.col("doc_id") * 7) % 13 + 1).alias("cnt"),
+        (F.col("doc_id") % 5).alias("fetches"),
+    )
+    scored = fr.withColumn(
+        "priority",
+        F.col("cnt").cast("double") * F.col("cnt") / (F.col("fetches") + F.lit(1.0)),
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("seq"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "host", "seq",
+            F.round(F.col("priority") * 1e6).cast("bigint").alias("priority_micro"),
+            "rnk",
+        )
+    )

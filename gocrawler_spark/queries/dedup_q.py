@@ -1,0 +1,439 @@
+r"""Deduplication + similarity-search queries (training-data pipeline
+extensions; first-class per the build brief).
+
+All hash-based sketches use md5-derived 64-bit integers
+(`conv(substr(md5(x),1,15),16,10)` / `('0x'||substr(md5(x),1,15))::BIGINT`)
+so Spark and DuckDB compute IDENTICAL hashes — 15 hex digits < 2^60
+fits signed 64-bit on both sides. Floating-point similarity scores are
+integerized through order-independent scaled-integer sums (see
+queries/__init__.py).
+
+Scale notes per query are in the docstrings; the common theme: shingle
+explosion is a flatMap (no shuffle), sketches aggregate per doc
+(one shuffle), LSH banding turns O(n²) pair comparison into a
+bucket-equijoin that Spark shuffles on the band key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gocrawler_spark.queries import load, register
+from gocrawler_spark.queries.crawler_q import CFG, STOP_RX, TOKS_SQL
+from gocrawler_spark.functions import text as TX
+
+N_MINHASH = 16
+N_BANDS = 4  # rows per band = 4
+SHINGLE_N = 3
+
+
+def _md5_64_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _md5_64(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+# shared: per-doc analyzed-token SHINGLE list (n=3), en docs
+_SHINGLES_CTE = f"""
+toklists AS (
+  SELECT doc_id,
+         list_filter({TOKS_SQL}, t -> NOT regexp_matches(t, '{STOP_RX}')) AS L
+  FROM documents WHERE lang = 'en'
+),
+shingles AS (
+  SELECT doc_id, L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS shingle
+  FROM (SELECT doc_id, L, unnest(range(1, len(L) - 1)) AS i
+        FROM toklists WHERE len(L) >= {SHINGLE_N})
+),
+doc_shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM shingles
+)
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    L = TX.analyzed_tokens(F.col("text"), CFG)
+    docs = docs.select("doc_id", L.alias("L")).filter(F.size("L") >= SHINGLE_N)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("L") - (SHINGLE_N - 1)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("L"), i),
+            F.element_at(F.col("L"), i + 1),
+            F.element_at(F.col("L"), i + 2),
+        ),
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    f"""
+WITH norm AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             list_filter({TOKS_SQL}, t -> NOT regexp_matches(t, '{STOP_RX}')),
+             ' ')) AS norm_key
+  FROM documents
+)
+SELECT norm_key, min(doc_id) AS first_doc, count(*) AS n_docs
+FROM norm GROUP BY norm_key
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the md5 of the normalized (analyzed) text — the
+    hash-groupBy pattern: map-side combine, one shuffle on the key;
+    at 100 TB the key is 128-bit so the groupBy state is tiny."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.md5(F.array_join(TX.analyzed_tokens(F.col("text"), CFG), " "))
+    return (
+        docs.select("doc_id", key.alias("norm_key"))
+        .groupBy("norm_key")
+        .agg(F.min("doc_id").alias("first_doc"), F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_SHINGLES_CTE},
+sizes AS (
+  SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM doc_shingles a JOIN doc_shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared,
+       CAST(round(CAST(shared AS DOUBLE)
+            / (sa.n + sb.n - shared) * 1e6) AS BIGINT) AS jaccard_micro
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.03
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs via the shared-shingle equijoin.
+    Scale: the join shuffles on the shingle; hot shingles are bounded
+    because shingles of stop-filtered trigrams are near-unique — for
+    100 TB the standard fix is dropping shingles with document
+    frequency above a cap before the self-join (frequency cap =
+    skew control), then AQE skew-split handles the rest."""
+    ds = _doc_shingles(spark, sf_dir)
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    return j.filter(jac >= 0.03).select(
+        "doc_a", "doc_b", "shared",
+        F.round(jac * 1e6).cast("bigint").alias("jaccard_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "minhash_bands",
+    f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, i.h AS perm,
+         min({_md5_64_sql("i.h || '#' || shingle")}) AS minhash
+  FROM doc_shingles, (SELECT unnest(range({N_MINHASH})) AS h) i
+  GROUP BY doc_id, i.h
+),
+bands AS (
+  SELECT doc_id, perm // {N_MINHASH // N_BANDS} AS band,
+         string_agg(minhash, ',' ORDER BY perm) AS sig
+  FROM hashed GROUP BY doc_id, band
+)
+SELECT doc_id, band, md5(sig) AS bucket FROM bands
+""",
+)
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding (shingle → minhash → band → bucket): the
+    classic near-dup path. Per doc: 16 permutations (md5-keyed), 4
+    bands of 4 → bucket = md5 of the band signature. Candidate pairs =
+    equijoin on (band, bucket) downstream. Scale: minhash is a
+    map-side agg per (doc, perm); the bucket join replaces the O(n²)
+    pair space."""
+    ds = _doc_shingles(spark, sf_dir)
+    perms = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("perm"))
+    hashed = (
+        ds.crossJoin(F.broadcast(perms))
+        .select(
+            "doc_id",
+            "perm",
+            _md5_64(
+                F.concat(F.col("perm").cast("string"), F.lit("#"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = (
+        hashed.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("perm", "minhash"))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("sig")
+        )
+    )
+    return bands.select(
+        "doc_id", F.col("band").cast("long").alias("band"), F.md5("sig").alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "simhash32",
+    f"""
+WITH {_SHINGLES_CTE},
+tok AS (
+  SELECT DISTINCT doc_id, shingle, {_md5_64_sql("shingle")} AS h
+  FROM doc_shingles
+),
+bits AS (
+  SELECT doc_id, b.i AS bit,
+         sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok, (SELECT unnest(range(32)) AS i) b
+  GROUP BY doc_id, b.i
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id
+""",
+)
+def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit) over shingle hashes: per-bit majority vote of
+    feature hashes. Near-dup = small Hamming distance downstream.
+    Integer-only → bit-exact across engines. Scale: two groupBys on
+    (doc, bit) then doc — both partial-agg friendly."""
+    ds = _doc_shingles(spark, sf_dir)
+    bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
+    tok = ds.select("doc_id", _md5_64(F.col("shingle")).alias("h"))
+    per_bit = (
+        tok.crossJoin(F.broadcast(bits))
+        .select(
+            "doc_id",
+            "bit",
+            F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(1) == 1, 1)
+            .otherwise(-1)
+            .alias("s"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("s").alias("v"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("bigint"), F.col("bit")))
+            .otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+_DOT_SCALED_SQL = """
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum(CAST(round(qx.x * cx.x * 1e12) AS BIGINT)) AS dot_s
+  FROM qv q
+  JOIN cv c ON c.vec_id <> q.vec_id,
+  LATERAL (SELECT unnest(q.embedding) AS x,
+                  generate_subscripts(q.embedding, 1) AS i) qx,
+  LATERAL (SELECT unnest(c.embedding) AS x,
+                  generate_subscripts(c.embedding, 1) AS i) cx
+  WHERE qx.i = cx.i
+  GROUP BY q.vec_id, c.vec_id
+"""
+
+
+@register(
+    "embedding_knn",
+    f"""
+WITH qv AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10
+),
+cv AS (
+  SELECT vec_id, embedding FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         sum(CAST(round(x.x * x.x * 1e12) AS BIGINT)) AS nrm_s
+  FROM cv, LATERAL (SELECT unnest(embedding) AS x) x
+  GROUP BY vec_id
+),
+dots AS ({_DOT_SCALED_SQL}),
+cos AS (
+  SELECT query_id, neighbor_id,
+         CAST(round(dot_s / sqrt(CAST(nq.nrm_s AS DOUBLE) * nc.nrm_s) * 1e6)
+              AS BIGINT) AS cos_micro
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_micro DESC, neighbor_id ASC) AS rnk
+  FROM cos
+)
+SELECT query_id, neighbor_id, cos_micro, rnk FROM ranked WHERE rnk <= 5
+""",
+)
+def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline over array<float>
+    embeddings. float*float products are EXACT in double (24+24 bits),
+    pre-rounded to 1e-12-scaled BIGINTs and summed order-independently
+    → deterministic across engines; ranking ties break on neighbor_id.
+
+    Scale path: this is the per-query-partition exact scorer that an
+    IVF/LSH bucketer (see ann_lsh_buckets) routes candidates into; the
+    query side is broadcast, the corpus side streams — no shuffle."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+
+    def dot_scaled(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.round(x.cast("double") * y.cast("double") * 1e12).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    def norm_scaled(a):
+        return F.aggregate(
+            F.transform(a, lambda x: F.round(x.cast("double") * x.cast("double") * 1e12).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot_scaled(F.col("qe"), F.col("ce"))
+            / F.sqrt(
+                norm_scaled(F.col("qe")).cast("double")
+                * norm_scaled(F.col("ce")).cast("double")
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("cos_micro"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_micro"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "cos_micro", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "ann_lsh_buckets",
+    f"""
+WITH planes AS (
+  SELECT p.p AS plane, d.d AS dim,
+         ({_md5_64_sql("'plane' || p.p || '/' || d.d")} % 2001 - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(range(8)) AS p) p, (SELECT unnest(range(64)) AS d) d
+),
+proj AS (
+  SELECT e.vec_id, pl.plane,
+         sum(CAST(round(x.x * pl.w * 1e9) AS BIGINT)) AS dot_s
+  FROM embeddings e,
+       LATERAL (SELECT unnest(e.embedding) AS x,
+                       generate_subscripts(e.embedding, 1) AS i) x
+  JOIN planes pl ON pl.dim = x.i - 1
+  GROUP BY e.vec_id, pl.plane
+)
+SELECT vec_id,
+       sum(CASE WHEN dot_s > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS bucket
+FROM proj GROUP BY vec_id
+""",
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing (8 planes → 256 buckets): the
+    scale path for ANN — candidate generation becomes an equijoin on
+    bucket instead of a cross join. Plane weights are md5-derived
+    rationals so both engines compute identical signs."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planes = (
+        spark.range(8)
+        .select(F.col("id").cast("int").alias("plane"))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("dim")))
+        .select(
+            "plane",
+            "dim",
+            (
+                (
+                    _md5_64(
+                        F.concat(
+                            F.lit("plane"), F.col("plane").cast("string"),
+                            F.lit("/"), F.col("dim").cast("string"),
+                        )
+                    )
+                    % 2001
+                    - 1000
+                )
+                / 1000.0
+            ).alias("w"),
+        )
+    )
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    )
+    proj = (
+        x.join(F.broadcast(planes), "dim")
+        .select(
+            "vec_id",
+            "plane",
+            F.round(F.col("x").cast("double") * F.col("w") * 1e9)
+            .cast("bigint")
+            .alias("t"),
+        )
+        .groupBy("vec_id", "plane")
+        .agg(F.sum("t").alias("dot_s"))
+    )
+    return proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot_s") > 0, F.shiftleft(F.lit(1).cast("bigint"), F.col("plane")))
+            .otherwise(F.lit(0))
+        ).alias("bucket")
+    )

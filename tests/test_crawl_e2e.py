@@ -1,0 +1,125 @@
+"""End-to-end crawl equivalence (BASELINE.md correctness gate):
+
+1. exact mode — the Spark engine at wave_size=1 must reproduce the
+   reference-semantics oracle EXACTLY: crawl order, URL-seen set,
+   frontier contents (url, count, status, seq), domain counters,
+   accepted docs (curated strings byte-equal), ranking rows, corpus
+   frequencies.
+2. scale mode — wave_size>1 relaxes order but must keep set invariants
+   (no double-fetch, dedup exactness, corpus == recompute from docs).
+"""
+
+import os
+
+import pytest
+
+from gocrawler_spark.config import test_profile as _tp
+from gocrawler_spark.oracle.pyoracle import ReferenceOracle
+from gocrawler_spark.plans.crawl import CrawlEngine
+from gocrawler_spark.sources import synthetic_web as SW
+
+N_STEPS = int(os.environ.get("E2E_STEPS", "12"))
+
+
+@pytest.fixture(scope="module")
+def oracle_result():
+    cfg = _tp()
+    return ReferenceOracle(cfg, SW.fetch_page).run(max_iters=N_STEPS)
+
+
+@pytest.fixture(scope="module")
+def engine_state(spark):
+    cfg = _tp(wave_size=1)
+    eng = CrawlEngine(spark, cfg)
+    return eng.run(max_steps=N_STEPS)
+
+
+def test_crawl_order_exact(engine_state, oracle_result):
+    got = [
+        r["url"]
+        for r in engine_state.crawl_log.orderBy("wave", "sel_rank").collect()
+    ]
+    assert got == oracle_result.crawl_order
+
+
+def test_url_seen_set_exact(engine_state, oracle_result):
+    got = {r["url"] for r in engine_state.pages.select("url").collect()}
+    assert got == oracle_result.seen_urls
+
+
+def test_frontier_exact(engine_state, oracle_result):
+    got = {
+        r["url"]: (r["domain"], r["count"], r["status"], r["seq"])
+        for r in engine_state.frontier.collect()
+    }
+    want = {
+        e.url: (e.domain, e.count, e.status, i)
+        for i, e in enumerate(oracle_result.pool)
+    }
+    assert got == want
+
+
+def test_domain_counter_exact(engine_state, oracle_result):
+    got = {
+        r["domain"]: r["n_scheduled"]
+        for r in engine_state.domain_counter.collect()
+    }
+    want = {d: n for d, n in oracle_result.domain_counter.items() if n}
+    assert got == want
+
+
+def test_accepted_docs_exact(engine_state, oracle_result):
+    got = {
+        r["url"]: (r["curated"], r["doc_len"], r["signature"])
+        for r in engine_state.accepted.collect()
+    }
+    want = {
+        d["url"]: (d["curated"], d["doc_len"], d["signature"])
+        for d in oracle_result.accepted_docs
+    }
+    assert got == want
+
+
+def test_ranking_rows_exact(engine_state, oracle_result):
+    got = {
+        r["url"]: (round(r["score"], 6), r["doc_len"], r["signature"],
+                   r["best_paragraph"])
+        for r in engine_state.ranking_rows.collect()
+    }
+    want = {
+        d["url"]: (round(d["score"], 6) if isinstance(d["score"], float) else d["score"],
+                   d["doc_len"], d["signature"], d["best_paragraph"])
+        for d in oracle_result.ranking_rows
+    }
+    # oracle rounds score to 2 decimals for the CSV (reference fmt);
+    # compare on the unrounded engine score re-rounded
+    got2 = {u: (round(v[0], 2), v[1], v[2], v[3]) for u, v in got.items()}
+    assert got2 == want
+
+
+def test_corpus_freq_exact(engine_state, oracle_result):
+    got = {
+        r["token"]: r["count"] for r in engine_state.corpus_freq.collect()
+    }
+    assert got == oracle_result.corpus_freqs
+
+
+def test_scale_mode_invariants(spark, oracle_result):
+    cfg = _tp(wave_size=8, per_host_budget=2)
+    st = CrawlEngine(spark, cfg).run(max_steps=4)
+    log = st.crawl_log.collect()
+    urls = [r["url"] for r in log]
+    assert len(urls) == len(set(urls)), "no URL may be scheduled twice"
+    pool = st.frontier.collect()
+    pool_urls = [r["url"] for r in pool]
+    assert len(pool_urls) == len(set(pool_urls)), "frontier dedup must be exact"
+    seqs = sorted(r["seq"] for r in pool)
+    assert seqs == list(range(len(pool))), "insertion seq must be dense"
+    # corpus freq state == recompute from accepted docs
+    from gocrawler_spark.operators import corpus as COx
+    recomputed = {
+        r["token"]: r["count"]
+        for r in COx.token_freq(st.accepted.select("curated"), cfg).collect()
+    }
+    stored = {r["token"]: r["count"] for r in st.corpus_freq.collect()}
+    assert stored == recomputed
