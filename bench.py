@@ -1,0 +1,246 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus a synthetic
+frontier schedule+dedup throughput job (the BASELINE.json north
+metric), and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "frontier": {"rows": N, "merged": M, "urls_per_sec": ...}}
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+`python bench.py --scaling`, which re-runs the frontier job at both
+parallelism levels in separate JVMs and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "corpus_freq_top100",
+    "doc_signature",
+    "signature_dedup",
+    "keyword_ranking",
+    "bigrams_top100",
+    "background_subtract",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "minhash_bands",
+    "simhash32",
+    "embedding_knn",
+    "ann_lsh_buckets",
+    "doc_fingerprint",
+    "tpch_q1_pricing",
+    "tpch_q3_toporders",
+    "tpch_q5_region_revenue",
+    "events_hourly",
+    "events_sessionize",
+    "frontier_priority_topk",
+]
+
+# synthetic frontier size for the throughput job (local scale; the
+# 1e10 target is reached by sharding the same plan — see BENCH notes)
+FRONTIER_ROWS = int(os.environ.get("BENCH_FRONTIER_ROWS", "5000000"))
+CAND_ROWS = FRONTIER_ROWS // 2
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("gocrawler-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def synthetic_frontier(spark, n: int):
+    """Deterministic 1e10-shape frontier: url/host/count/status/seq.
+    ~50k hosts with a Zipf-ish skewed host assignment (id*id % H) so
+    the per-host window sees realistic hot hosts."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n)
+        .select(
+            F.concat(
+                F.lit("https://host"),
+                ((F.col("id") * F.col("id") + F.col("id")) % 50000).cast("string"),
+                F.lit(".example/p"),
+                F.col("id").cast("string"),
+            ).alias("url"),
+            (
+                F.concat(
+                    F.lit("host"),
+                    ((F.col("id") * F.col("id") + F.col("id")) % 50000).cast("string"),
+                    F.lit(".example"),
+                )
+            ).alias("domain"),
+            (F.col("id") % 13 + 1).alias("count"),
+            F.lit(0).alias("status"),
+            F.col("id").alias("seq"),
+            F.lit(True).alias("eligible"),
+        )
+    )
+
+
+def frontier_throughput(spark) -> dict:
+    """The north-metric job: schedule (priority + top-k per host +
+    global wave cut) AND dedup-merge (wave-local groupBy + full-outer
+    merge) over the synthetic frontier; throughput = URLs touched/sec."""
+    from pyspark.sql import functions as F
+
+    from gocrawler_spark.operators import frontier as FR
+
+    fr = synthetic_frontier(spark, FRONTIER_ROWS)
+    dc = spark.createDataFrame([], "domain string, n_scheduled long")
+    t0 = time.time()
+    sel = FR.select_wave(fr, dc, wave_size=100_000, per_host_budget=4)
+    n_sel = sel.count()
+    # candidate stream: 50% collide with existing URLs (dedup hits),
+    # 50% brand new — the F5/A4 merge path
+    cand = (
+        spark.range(CAND_ROWS)
+        .select(
+            F.concat(
+                F.lit("https://host"),
+                (((F.col("id") * 7) * ((F.col("id") * 7) + 1)) % 50000).cast("string"),
+                F.lit(".example/p"),
+                (F.col("id") * 7 % (FRONTIER_ROWS * 2)).cast("string"),
+            ).alias("url"),
+        )
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("delta"),
+            F.min(F.struct(F.lit(0).alias("parent_seq"), F.lit(0).alias("pos"))).alias(
+                "first_at"
+            ),
+        )
+        .withColumn(
+            "domain",
+            F.regexp_extract(F.col("url"), r"https://([^/]+)/", 1),
+        )
+    )
+    merged = FR.merge_into_frontier(fr, cand, None)
+    n_after = merged.count()
+    dt = time.time() - t0
+    touched = FRONTIER_ROWS + CAND_ROWS
+    return {
+        "rows": FRONTIER_ROWS,
+        "cand_rows": CAND_ROWS,
+        "selected": n_sel,
+        "frontier_after": n_after,
+        "sec": round(dt, 3),
+        "urls_per_sec": round(touched / dt),
+    }
+
+
+def run_queries(spark) -> dict:
+    from gocrawler_spark.queries import QUERIES
+
+    out = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main_bench():
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    q = run_queries(spark)
+    fr = frontier_throughput(spark)
+    total = round(sum(q.values()) + fr["sec"], 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite + frontier schedule/dedup throughput",
+                "value": total,
+                "unit": "sec",
+                "queries": q,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "frontier": fr,
+            }
+        )
+    )
+    spark.stop()
+
+
+def main_frontier_only(cpus: int):
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    fr = frontier_throughput(spark)
+    print(json.dumps({"cpus": cpus, **fr}))
+    spark.stop()
+
+
+def main_scaling():
+    """Run the identical frontier job at local[8] and local[32] in
+    fresh JVMs; report throughputs + scaling efficiency (north_rule:
+    two-cluster-size criterion evidenced by two parallelism levels)."""
+    results = {}
+    for cpus in (8, 32):
+        p = subprocess.run(
+            [sys.executable, __file__, "--frontier-only", str(cpus)],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8 = results[8]["urls_per_sec"]
+    t32 = results[32]["urls_per_sec"]
+    eff = (t32 / t8) / (32 / 8)
+    report = {
+        "job": "frontier schedule+dedup (see bench.py frontier_throughput)",
+        "rows": results[8]["rows"],
+        "local8_urls_per_sec": t8,
+        "local32_urls_per_sec": t32,
+        "speedup_8_to_32": round(t32 / t8, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(report))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH — frontier throughput + scaling efficiency\n\n"
+            "Same job (schedule wave of 100k URLs from a "
+            f"{results[8]['rows']:,}-row synthetic frontier + dedup-merge "
+            f"{results[8]['cand_rows']:,} candidate links), identical input, "
+            "two parallelism levels (north_rule two-cluster-size criterion "
+            "evidenced as local[8] vs local[32] in this sandbox):\n\n"
+            "| parallelism | wall sec | URLs/sec |\n|---|---|---|\n"
+            f"| local[8] | {results[8]['sec']} | {t8:,} |\n"
+            f"| local[32] | {results[32]['sec']} | {t32:,} |\n\n"
+            f"- speedup 8→32 cores (4x): **{round(t32 / t8, 3)}x**\n"
+            f"- scaling efficiency (speedup / 4): **{round(eff, 3)}**"
+            " (target >= 0.8)\n"
+        )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        main_scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--frontier-only":
+        main_frontier_only(int(sys.argv[2]))
+    else:
+        main_bench()

@@ -246,7 +246,7 @@ def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "bit",
-            F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(1) == 1, 1)
+            F.when(F.call_function("shiftright", F.col("h"), F.col("bit")).bitwiseAND(1) == 1, 1)
             .otherwise(-1)
             .alias("s"),
         )
@@ -255,7 +255,7 @@ def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_bit.groupBy("doc_id").agg(
         F.sum(
-            F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("bigint"), F.col("bit")))
+            F.when(F.col("v") > 0, F.call_function("shiftleft", F.lit(1).cast("bigint"), F.col("bit")))
             .otherwise(F.lit(0))
         ).alias("simhash")
     )
@@ -433,7 +433,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return proj.groupBy("vec_id").agg(
         F.sum(
-            F.when(F.col("dot_s") > 0, F.shiftleft(F.lit(1).cast("bigint"), F.col("plane")))
+            F.when(F.col("dot_s") > 0, F.call_function("shiftleft", F.lit(1).cast("bigint"), F.col("plane")))
             .otherwise(F.lit(0))
         ).alias("bucket")
     )

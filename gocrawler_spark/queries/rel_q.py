@@ -1,0 +1,253 @@
+"""Relational/streaming-analog queries over the TPC-H-ish tables and
+the events stream table — the generic DataFrame layer the engine
+exposes (joins, aggregations, windows, top-k, sessionization).
+
+Money/value sums are computed as sums of pre-rounded scaled BIGINTs
+(order-independent) — see queries/__init__.py. Broadcast hints mirror
+what the 100 TB plan needs: dims (region/nation/customer/supplier) are
+broadcast; fact-fact joins shuffle on their keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gocrawler_spark.queries import load, register
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q1_pricing",
+    """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         AS sum_disc_c,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan-side filter pushdown +
+    partial aggregation; the canonical agg benchmark."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_c"),
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q3_toporders",
+    """
+WITH rev AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS revenue_c
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, c.c_mktsegment, rev.revenue_c
+FROM rev
+JOIN orders o ON o.o_orderkey = rev.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+ORDER BY rev.revenue_c DESC, o.o_orderkey ASC
+LIMIT 10
+""",
+)
+def tpch_q3_toporders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped top-k revenue join: fact-fact join on orderkey +
+    broadcast dim (customer), TakeOrderedAndProject for the top-10."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue_c"
+        )
+    )
+    return (
+        rev.join(o, rev["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "c_mktsegment", "revenue_c")
+        .orderBy(F.desc("revenue_c"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q5_region_revenue",
+    """
+SELECT r.r_name, n.n_name,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+         AS revenue_c
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped star join: one shuffle join (lineitem⋈orders) then a
+    broadcast chain through the dimension tables."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_c"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type,
+       count(*) AS n,
+       sum(CAST(round(value * 1e6) AS BIGINT)) AS value_sum_micro
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the event stream (the batch
+    twin of the Structured Streaming windowed agg in streaming/)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1e6).cast("bigint")).alias(
+                "value_sum_micro"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_sessionize",
+    """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) -
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                   > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id,
+       count(DISTINCT session_id) AS n_sessions,
+       max(cnt) AS max_session_events
+FROM (SELECT user_id, session_id, count(*) AS cnt
+      FROM sess GROUP BY user_id, session_id)
+GROUP BY user_id
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + running sum —
+    the batch twin of applyInPandasWithState sessionization. One
+    shuffle on user_id; both windows share the partitioning."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+                > 1800000000
+            )
+            | F.lag(F.col("ts")).over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = gaps.withColumn("session_id", F.sum("new_session").over(w2))
+    per_sess = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.max("cnt").alias("max_session_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_top_purchasers",
+    """
+SELECT user_id, count(*) AS n_purchases,
+       sum(CAST(round(value * 1e6) AS BIGINT)) AS spend_micro
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY n_purchases DESC, user_id ASC
+LIMIT 10
+""",
+)
+def events_top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k users by purchase count (deterministic tiebreak)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 1e6).cast("bigint")).alias("spend_micro"),
+        )
+        .orderBy(F.desc("n_purchases"), F.asc("user_id"))
+        .limit(10)
+    )

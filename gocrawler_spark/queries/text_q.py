@@ -1,0 +1,152 @@
+r"""Text-analysis queries (training-data pipeline extensions):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All integer-deterministic across Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gocrawler_spark.functions import text as TX
+from gocrawler_spark.queries import load, register
+from gocrawler_spark.queries.crawler_q import CFG, STOP_RX, TOKS_SQL, _STOP_COUNT_SQL
+
+FP_PRIME = 1000003
+FP_MOD = 2147483647
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "lang_id_heuristic",
+    f"""
+SELECT doc_id, lang,
+       CASE WHEN CAST({_STOP_COUNT_SQL} AS DOUBLE) / (len({TOKS_SQL}) + 1) > 0.07
+            THEN 'en' ELSE 'other' END AS pred,
+       (lang = 'en') =
+       (CAST({_STOP_COUNT_SQL} AS DOUBLE) / (len({TOKS_SQL}) + 1) > 0.07) AS hit
+FROM documents
+""",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram heuristic: English-stopword hit ratio above a
+    threshold (the reference delegates to whatlanggo, crawler.go:1144;
+    this is the deterministic in-engine heuristic). Scan-only."""
+    docs = load(spark, sf_dir, "documents")
+    ratio = TX.stopwords_count(F.col("text"), CFG).cast("double") / (
+        TX.tokens_count(F.lower(F.col("text"))) + F.lit(1)
+    )
+    pred = F.when(ratio > 0.07, "en").otherwise("other")
+    return docs.select(
+        "doc_id", "lang", pred.alias("pred"),
+        ((F.col("lang") == "en") == (ratio > 0.07)).alias("hit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "quality_score",
+    f"""
+WITH q AS (
+  SELECT doc_id,
+         len({TOKS_SQL}) AS n_tok,
+         length(text) AS n_chars,
+         {_STOP_COUNT_SQL} AS n_stop,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_tok, n_stop, n_digit, n_punct,
+       CAST(round((
+         least(CAST(n_tok AS DOUBLE) / 100, 1.0) * 0.4
+         + least(CAST(n_stop AS DOUBLE) / (n_tok + 1) / 0.38, 1.0) * 0.4
+         + (1.0 - least(CAST(n_digit AS DOUBLE) / (n_chars + 1) * 10, 1.0)) * 0.2
+       ) * 1e6) AS BIGINT) AS quality_micro
+FROM q
+""",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (length, stopword-prose ratio,
+    digit-noise penalty) — the P2/P3 ratio machinery generalized into a
+    0..1 score. All inputs are scan-side counts; no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = TX.tokens_count(F.lower(F.col("text")))
+    n_stop = TX.stopwords_count(F.col("text"), CFG)
+    n_digit = F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), F.lit(0)))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[.,;:!?]"), F.lit(0)))
+    n_chars = F.length("text")
+    q = (
+        F.least(n_tok.cast("double") / 100, F.lit(1.0)) * 0.4
+        + F.least(n_stop.cast("double") / (n_tok + 1) / 0.38, F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(n_digit.cast("double") / (n_chars + 1) * 10, F.lit(1.0)))
+        * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        n_stop.alias("n_stop"),
+        n_digit.alias("n_digit"),
+        n_punct.alias("n_punct"),
+        F.round(q * 1e6).cast("bigint").alias("quality_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "token_count_bpe",
+    r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+         AS n_ws,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+         AS n_subword
+FROM documents
+""",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (letter runs / digit runs / single symbols) — the standard
+    pre-tokenizer shape for LLM-corpus accounting."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+    sub = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+        )
+    )
+    return docs.select("doc_id", ws.alias("n_ws"), sub.alias("n_subword"))
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "doc_fingerprint",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(L) AS token, generate_subscripts(L, 1) AS i
+  FROM (SELECT doc_id,
+               list_filter({TOKS_SQL}, t -> NOT regexp_matches(t, '{STOP_RX}')) AS L
+        FROM documents)
+)
+SELECT doc_id,
+       sum(i * (CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % {FP_PRIME}))
+         % {FP_MOD} AS fingerprint
+FROM toks GROUP BY doc_id
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling document fingerprint:
+    sum_i( i * (md5_64(token_i) mod p) ) mod 2^31-1 over analyzed
+    tokens — an order-sensitive content hash computed as an
+    order-INDEPENDENT integer sum (terms carry their position), so the
+    aggregation is shuffle-friendly and engine-exact."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(TX.analyzed_tokens(F.col("text"), CFG)).alias("pos", "token")
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint")
+    term = (F.col("pos") + 1) * (h % FP_PRIME)
+    return (
+        toks.select("doc_id", term.alias("t"))
+        .groupBy("doc_id")
+        .agg((F.sum("t") % FP_MOD).alias("fingerprint"))
+    )
