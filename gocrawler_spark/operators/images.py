@@ -1,0 +1,196 @@
+"""Image payload operators — the graft axis (BASELINE.json input_hint).
+
+Table shape (authoritative):
+    (image_id string, bytes binary, w int, h int, fmt string,
+     caption string, phash long)
+
+All heavy work is Arrow-batched ``mapInPandas`` (vectorized transfer,
+no per-row Python in Spark's row pipeline — pixel codecs are
+inherently per-image). Scale design:
+
+- the images table is written hash-distributed on ``image_id`` (at
+  100 TB: bucketed by xxhash64(image_id)), payloads are opaque binary
+  — column pruning means metadata queries NEVER read ``bytes``
+  (check: ReadSchema in .explain excludes it);
+- validation is embarrassingly parallel (one image at a time, no
+  shuffle); near-dup detection shuffles only (image_id, phash) — 16
+  bytes/row, not the payload;
+- phash near-dup uses banded LSH on the 64-bit hash (4 x 16-bit
+  bands): Hamming-distance<=3 pairs share >=1 exact band with
+  certainty (pigeonhole), so the candidate join is an equi-join on
+  (band_id, band_value) — no O(n^2) cross join at 1e10 rows.
+
+The reference crawler has no image path (it bans image URLs,
+crawler.yaml:3); correctness = the input_hint invariant: decoded
+pixels match the reference render (PSNR>=40dB for lossy, exact for
+lossless) and captions byte-equal.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gocrawler_spark.sources import synthetic_images as SI
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+VALIDATION_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("dims_ok", T.BooleanType(), False),
+        T.StructField("psnr_db", T.DoubleType(), True),  # None = lossless exact
+        T.StructField("pixels_ok", T.BooleanType(), False),
+        T.StructField("caption_ok", T.BooleanType(), False),
+        T.StructField("phash_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def empty_images(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], IMAGE_SCHEMA)
+
+
+def build_image_table(pages: DataFrame, seed: int = 42) -> DataFrame:
+    """pages(url, ...) → input_hint image rows via mapInPandas.
+
+    One Arrow batch in, one out; each page contributes 0-3 images.
+    At scale the input is already partitioned by host (fetch stage),
+    so image synthesis/decode adds no shuffle.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for u in pdf["url"]:
+                for meta in SI.images_of_page(u, seed):
+                    rows.append(SI.materialize(meta, seed))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+            )
+
+    return pages.select("url").mapInPandas(gen, IMAGE_SCHEMA)
+
+
+def validate_images(images: DataFrame, psnr_floor: float = 40.0, seed: int = 42) -> DataFrame:
+    """Check the input_hint invariant per row.
+
+    - decode bytes with the format's codec;
+    - re-render the reference pixels from image_id (pure function);
+    - lossless: exact pixel match required; lossy: PSNR >= psnr_floor;
+    - caption byte-equality vs the reference caption function;
+    - phash recompute == stored phash.
+    """
+
+    def val(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gocrawler_spark.sources.synthetic_web import _sentence, h64
+
+        for pdf in batches:
+            out = {k.name: [] for k in VALIDATION_SCHEMA.fields}
+            for r in pdf.itertuples(index=False):
+                ref = SI.render_pixels(r.image_id, r.w, r.h, seed)
+                try:
+                    px = SI.decode_image(bytes(r.bytes), r.fmt)
+                    decode_ok = True
+                except Exception:  # corrupt payloads fail arbitrarily
+                    px, decode_ok = None, False
+                dims_ok = decode_ok and px.shape == (r.h, r.w, 3)
+                if dims_ok:
+                    p = SI.psnr_db(ref, px)
+                    lossless = r.fmt == "png"
+                    pixels_ok = (
+                        bool(np.array_equal(ref, px)) if lossless else p >= psnr_floor
+                    )
+                    psnr = None if math.isinf(p) else float(p)
+                    phash_ok = SI.ahash64(px) == r.phash
+                else:
+                    psnr, pixels_ok, phash_ok = None, False, False
+                cap_ref = _sentence(h64(r.image_id, "cap", seed=seed), 12, 4, 3)
+                out["image_id"].append(r.image_id)
+                out["decode_ok"].append(decode_ok)
+                out["dims_ok"].append(bool(dims_ok))
+                out["psnr_db"].append(psnr)
+                out["pixels_ok"].append(bool(pixels_ok))
+                out["caption_ok"].append(r.caption == cap_ref)
+                out["phash_ok"].append(bool(phash_ok))
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    return images.select(*cols).mapInPandas(val, VALIDATION_SCHEMA)
+
+
+def phash_bands(images: DataFrame, n_bands: int = 4) -> DataFrame:
+    """Explode each phash into n_bands exact-match bands (LSH for
+    Hamming distance): two hashes within Hamming distance n_bands-1
+    agree on at least one band. Only (image_id, phash) shuffles."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftright(F.col("phash"), i * width).bitwiseAND(F.lit(mask)).alias(
+                    "band_value"
+                ),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    return images.select("image_id", "phash", F.explode(bands).alias("b")).select(
+        "image_id", "phash", F.col("b.band_id"), F.col("b.band_value")
+    )
+
+
+def _popcount64(col):
+    """Bit count of a 64-bit column via 4x16-bit lookup-free fold
+    (Spark has bit_count in 3.3+; keep explicit for clarity)."""
+    return F.bit_count(col)
+
+
+def phash_near_dups(images: DataFrame, max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
+    """Pairs of images with Hamming(phash) <= max_hamming.
+
+    Banded equi-join (no cross join): candidates = pairs sharing a
+    band; exact Hamming verified with xor+bit_count; dedup on the
+    (a,b) pair. For max_hamming <= n_bands-1 recall is 100%
+    (pigeonhole). Shuffle carries only ids+hashes.
+    """
+    b = phash_bands(images, n_bands)
+    left = b.select(
+        F.col("image_id").alias("a_id"), F.col("phash").alias("a_phash"),
+        "band_id", "band_value",
+    )
+    right = b.select(
+        F.col("image_id").alias("b_id"), F.col("phash").alias("b_phash"),
+        "band_id", "band_value",
+    )
+    pairs = (
+        left.join(right, ["band_id", "band_value"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_phash", "b_phash")
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn(
+            "hamming",
+            _popcount64(F.col("a_phash").bitwiseXOR(F.col("b_phash"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("a_id", "b_id", "hamming")

@@ -47,6 +47,7 @@ from gocrawler_spark.config import CrawlConfig
 from gocrawler_spark.operators import corpus as CO
 from gocrawler_spark.operators import curation as CU
 from gocrawler_spark.operators import frontier as FR
+from gocrawler_spark.operators import images as IM
 
 FETCH_SCHEMA = T.StructType(
     [
@@ -88,6 +89,7 @@ class CrawlState:
     crawl_log: DataFrame  # (wave, sel_rank, url, domain, seq, status_after)
     accepted: DataFrame  # accepted docs
     ranking_rows: DataFrame  # S6 CSV analog
+    images: DataFrame | None = None  # input_hint payload table (graft)
     wave: int = 0
 
 
@@ -99,6 +101,7 @@ class CrawlEngine:
         fetch_fn=None,
         lang_gate=CU.default_lang_gate,
         checkpoint_dir: str | None = None,
+        with_images: bool = False,
     ):
         from gocrawler_spark.sources import synthetic_web
 
@@ -107,6 +110,7 @@ class CrawlEngine:
         self.fetch_fn = fetch_fn or synthetic_web.fetch_page
         self.lang_gate = lang_gate
         self.checkpoint_dir = checkpoint_dir
+        self.with_images = with_images
         self.state = self._init_state()
 
     # ------------------------------------------------------------------
@@ -137,6 +141,7 @@ class CrawlEngine:
                 "wave long, url string, score double, doc_len int,"
                 " signature string, best_paragraph string"
             ),
+            images=IM.empty_images(s) if self.with_images else None,
         )
 
     def _pin(self, df: DataFrame) -> DataFrame:
@@ -243,9 +248,18 @@ class CrawlEngine:
         )
 
         # S3 memoization: append newly fetched OK pages
-        st.pages = self._pin(
-            st.pages.unionByName(fetched_new.filter(F.col("ok")))
-        )
+        ok_new = fetched_new.filter(F.col("ok"))
+        st.pages = self._pin(st.pages.unionByName(ok_new))
+
+        # graft payload: images+captions of newly fetched pages →
+        # input_hint table (first-fetch only, so re-crawls are
+        # idempotent; cache hits never re-extract)
+        if self.with_images:
+            st.images = self._pin(
+                st.images.unionByName(
+                    IM.build_image_table(ok_new.select("url"), seed=self.cfg.seed)
+                )
+            )
 
         wave_rows = sel.join(fetched, "url").select(
             "url", "domain", "seq", "sel_rank", "priority",

@@ -47,5 +47,6 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # import for registration side effects
 from gocrawler_spark.queries import crawler_q  # noqa: E402,F401
 from gocrawler_spark.queries import dedup_q  # noqa: E402,F401
+from gocrawler_spark.queries import image_q  # noqa: E402,F401
 from gocrawler_spark.queries import rel_q  # noqa: E402,F401
 from gocrawler_spark.queries import text_q  # noqa: E402,F401

@@ -1,0 +1,151 @@
+"""Image payload queries (graft axis — BASELINE.json input_hint).
+
+The driver testdata has no image table, so these queries DERIVE one
+deterministically from ``documents``: metadata (w, h, fmt, caption)
+via SQL-expressible arithmetic on ``doc_id`` (so the metadata query
+has a real DuckDB oracle), pixels/bytes/phash via the pure-function
+render (Python-side — those queries are rows-only checks, which is
+the driver's weaker gate for genuinely non-SQL-expressible ops).
+
+Derivations (both sides compute these identically):
+    w    = 16 + doc_id % 49
+    h    = 16 + (doc_id * 7) % 49
+    fmt  = 'qjpg' if doc_id % 3 == 0 else 'png'
+    caption = substr(text, 1, 64)
+    near-dup twins: doc_id % 5 == 1 renders the PIXELS of doc_id - 1
+      (lossy re-encode) → known near-duplicate pairs for phash LSH.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gocrawler_spark.operators import images as IM
+from gocrawler_spark.queries import load, register
+from gocrawler_spark.sources import synthetic_images as SI
+
+N_DOCS = 300  # doc_id < N_DOCS exists at every sf
+
+
+def images_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < N_DOCS)
+        .select("doc_id", F.substring("text", 1, 64).alias("caption"))
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = int(r.doc_id)
+                w = 16 + d % 49
+                h = 16 + (d * 7) % 49
+                fmt = "qjpg" if d % 3 == 0 else "png"
+                # near-dup twin: render the previous doc's pixels
+                render_id = str(d - 1) if (d % 5 == 1 and d > 0) else str(d)
+                if d % 5 == 1 and d > 0:
+                    p = d - 1
+                    w, h = 16 + p % 49, 16 + (p * 7) % 49
+                px = SI.render_pixels(render_id, w, h)
+                data = SI.encode_png(px) if fmt == "png" else SI.encode_qjpg(px)
+                rows.append(
+                    {
+                        "image_id": str(d),
+                        "bytes": data,
+                        "w": w,
+                        "h": h,
+                        "fmt": fmt,
+                        "caption": r.caption,
+                        "phash": SI.ahash64(SI.decode_image(data, fmt)),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    return docs.mapInPandas(gen, IM.IMAGE_SCHEMA)
+
+
+@register(
+    "image_metadata_stats",
+    f"""
+    SELECT fmt,
+           COUNT(*) AS n_images,
+           SUM(w) AS sum_w,
+           SUM(h) AS sum_h,
+           SUM(LENGTH(caption)) AS sum_caption_len
+    FROM (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'qjpg' ELSE 'png' END AS fmt,
+             CASE WHEN doc_id % 5 = 1 AND doc_id > 0
+                  THEN 16 + (doc_id - 1) % 49 ELSE 16 + doc_id % 49 END AS w,
+             CASE WHEN doc_id % 5 = 1 AND doc_id > 0
+                  THEN 16 + ((doc_id - 1) * 7) % 49
+                  ELSE 16 + (doc_id * 7) % 49 END AS h,
+             SUBSTR(text, 1, 64) AS caption
+      FROM documents WHERE doc_id < {N_DOCS}
+    ) GROUP BY fmt ORDER BY fmt
+    """,
+)
+def image_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata aggregation over the image table; the scan must prune
+    the binary payload column (verified in tests/test_images.py)."""
+    return (
+        images_from_documents(spark, sf_dir)
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("w").alias("sum_w"),
+            F.sum("h").alias("sum_h"),
+            F.sum(F.length("caption")).alias("sum_caption_len"),
+        )
+        .orderBy("fmt")
+    )
+
+
+@register("image_validate_summary")  # binary decode — rows-only check
+def image_validate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint invariant over the derived table: every row must
+    decode, match the reference render (exact / PSNR>=40dB), keep its
+    caption byte-equal through the pipeline, and recompute its phash."""
+    # twins (doc_id % 5 == 1) intentionally carry another id's pixels
+    # for the near-dup query — exclude them from the id→render check
+    imgs = images_from_documents(spark, sf_dir).filter(
+        ~((F.col("image_id").cast("long") % 5 == 1) & (F.col("image_id").cast("long") > 0))
+    )
+    v = IM.validate_images(imgs).cache()
+    cap_ref = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < N_DOCS)
+        .select(
+            F.col("doc_id").cast("string").alias("image_id"),
+            F.substring("text", 1, 64).alias("cap_expected"),
+        )
+    )
+    cap_ok = (
+        imgs.select("image_id", "caption")
+        .join(cap_ref, "image_id")
+        .filter(F.col("caption") == F.col("cap_expected"))
+        .count()
+    )
+    return v.agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decode_ok"),
+        F.sum(F.col("dims_ok").cast("long")).alias("n_dims_ok"),
+        F.sum(F.col("pixels_ok").cast("long")).alias("n_pixels_ok"),
+        F.sum(F.col("phash_ok").cast("long")).alias("n_phash_ok"),
+        F.min(F.floor(F.col("psnr_db") * 1e3)).alias("min_lossy_psnr_milli"),
+    ).withColumn("n_caption_ok", F.lit(cap_ok).cast("long"))
+
+
+@register("image_phash_near_dups")  # phash is Python-side — rows-only check
+def image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH perceptual near-dup pairs; the twin construction
+    (doc_id % 5 == 1 re-renders doc_id-1 lossily) guarantees known
+    pairs, verified in tests."""
+    imgs = images_from_documents(spark, sf_dir)
+    return IM.phash_near_dups(imgs, max_hamming=3).orderBy("a_id", "b_id")

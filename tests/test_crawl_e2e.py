@@ -123,3 +123,29 @@ def test_scale_mode_invariants(spark, oracle_result):
     }
     stored = {r["token"]: r["count"] for r in st.corpus_freq.collect()}
     assert stored == recomputed
+
+
+def test_crawl_wave_images_invariant(spark):
+    """Graft axis: the engine's per-wave image extraction produces the
+    input_hint table and every row passes the payload invariant
+    (decode + dims + pixels + caption + phash)."""
+    from pyspark.sql import functions as F
+
+    from gocrawler_spark.operators import images as IMx
+
+    cfg = _tp(wave_size=8, per_host_budget=2)
+    st = CrawlEngine(spark, cfg, with_images=True).run(max_steps=3)
+    assert st.images is not None
+    n = st.images.count()
+    assert n > 0
+    assert [f.name for f in st.images.schema.fields] == [
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+    ]
+    v = IMx.validate_images(st.images, seed=cfg.seed)
+    bad = v.filter(
+        ~(F.col("decode_ok") & F.col("dims_ok") & F.col("pixels_ok")
+          & F.col("caption_ok") & F.col("phash_ok"))
+    )
+    assert bad.count() == 0
+    # idempotence: image_ids unique (first-fetch-only extraction)
+    assert st.images.select("image_id").distinct().count() == n

@@ -1,0 +1,138 @@
+"""Image payload tests — the input_hint invariant (BASELINE.json):
+
+decoded-pixel allclose vs the reference render (exact for lossless,
+PSNR >= 40 dB for lossy) + byte-equal captions, over the authoritative
+table shape (image_id, bytes, w, h, fmt, caption, phash).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gocrawler_spark.operators import images as IM
+from gocrawler_spark.sources import synthetic_images as SI
+
+
+# ---------------- codec-level (no Spark) ----------------
+
+
+def test_png_roundtrip_exact():
+    px = SI.render_pixels("img-a", 41, 29)
+    assert np.array_equal(SI.decode_png(SI.encode_png(px)), px)
+    assert SI.psnr_db(px, SI.decode_png(SI.encode_png(px))) == float("inf")
+
+
+def test_qjpg_lossy_psnr_floor():
+    for iid in ["x1", "x2", "x3"]:
+        px = SI.render_pixels(iid, 64, 48)
+        dec = SI.decode_qjpg(SI.encode_qjpg(px))
+        p = SI.psnr_db(px, dec)
+        assert 40.0 <= p < float("inf"), p
+        assert not np.array_equal(px, dec)  # genuinely lossy
+
+
+def test_jpeg_stub_gated():
+    with pytest.raises((NotImplementedError, ValueError)):
+        SI.decode_jpeg(b"\xff\xd8\xff\xe0 not really")
+
+
+def test_render_deterministic():
+    a = SI.render_pixels("same", 20, 20)
+    b = SI.render_pixels("same", 20, 20)
+    c = SI.render_pixels("other", 20, 20)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_ahash_noise_tolerance():
+    px = SI.render_pixels("h1", 64, 64)
+    noisy = SI.decode_qjpg(SI.encode_qjpg(px))  # quantization noise
+    d = bin((SI.ahash64(px) ^ SI.ahash64(noisy)) & ((1 << 64) - 1)).count("1")
+    assert d <= 3  # perceptually stable
+    other = SI.render_pixels("h2-different", 64, 64)
+    d2 = bin((SI.ahash64(px) ^ SI.ahash64(other)) & ((1 << 64) - 1)).count("1")
+    assert d2 > 3  # distinct content separates
+
+
+# ---------------- Spark-side plumbing ----------------
+
+
+@pytest.fixture(scope="module")
+def image_table(spark):
+    urls = [(f"https://site{i % 7}.example/article-{i}",) for i in range(40)]
+    pages = spark.createDataFrame(urls, "url string")
+    df = IM.build_image_table(pages).cache()
+    assert df.count() > 10
+    return df
+
+
+def test_table_schema_matches_input_hint(image_table):
+    assert [(f.name, f.dataType.simpleString()) for f in image_table.schema.fields] == [
+        ("image_id", "string"), ("bytes", "binary"), ("w", "int"), ("h", "int"),
+        ("fmt", "string"), ("caption", "string"), ("phash", "bigint"),
+    ]
+
+
+def test_invariant_all_rows(image_table):
+    v = IM.validate_images(image_table)
+    bad = v.filter(
+        ~(F.col("decode_ok") & F.col("dims_ok") & F.col("pixels_ok")
+          & F.col("caption_ok") & F.col("phash_ok"))
+    )
+    assert bad.count() == 0
+    # lossy rows report a finite PSNR >= 40; lossless report None
+    lossy = v.filter(F.col("psnr_db").isNotNull())
+    assert lossy.filter(F.col("psnr_db") < 40.0).count() == 0
+    assert v.filter(F.col("psnr_db").isNull()).count() > 0
+
+
+def test_invariant_survives_parquet_roundtrip(image_table, tmp_path):
+    p = str(tmp_path / "images.parquet")
+    image_table.write.mode("overwrite").parquet(p)
+    back = image_table.sparkSession.read.parquet(p)
+    v = IM.validate_images(back)
+    assert v.filter(~(F.col("pixels_ok") & F.col("caption_ok"))).count() == 0
+
+
+def test_corruption_detected(image_table, tmp_path):
+    corrupt = image_table.limit(3).withColumn(
+        "caption", F.concat(F.col("caption"), F.lit(" TAMPERED"))
+    )
+    v = IM.validate_images(corrupt)
+    assert v.filter(F.col("caption_ok")).count() == 0
+    # truncating the payload breaks decode
+    corrupt2 = image_table.limit(3).withColumn(
+        "bytes", F.substring(F.col("bytes"), 1, 50)
+    )
+    v2 = IM.validate_images(corrupt2)
+    assert v2.filter(F.col("pixels_ok")).count() == 0
+
+
+def test_phash_near_dups_banded_lsh(spark):
+    # two perceptual near-dups (same render, lossy vs lossless) + one far
+    rows = []
+    for iid, fmt in [("dupA", "png"), ("dupA", "qjpg"), ("farB", "png")]:
+        px = SI.render_pixels(iid, 48, 48)
+        data = SI.encode_png(px) if fmt == "png" else SI.encode_qjpg(px)
+        rows.append(
+            (f"{iid}-{fmt}", bytearray(data), 48, 48, fmt, "c",
+             SI.ahash64(SI.decode_image(bytes(data), fmt)))
+        )
+    df = spark.createDataFrame(rows, IM.IMAGE_SCHEMA)
+    pairs = IM.phash_near_dups(df, max_hamming=3).collect()
+    got = {(r.a_id, r.b_id) for r in pairs}
+    assert ("dupA-png", "dupA-qjpg") in got or ("dupA-qjpg", "dupA-png") in got
+    assert all("farB" not in a and "farB" not in b for a, b in got)
+
+
+def test_metadata_scan_prunes_payload(image_table, tmp_path):
+    """Column pruning: a metadata-only query over the parquet images
+    table must not read the binary payload column."""
+    p = str(tmp_path / "img2.parquet")
+    image_table.write.mode("overwrite").parquet(p)
+    q = (
+        image_table.sparkSession.read.parquet(p)
+        .groupBy("fmt").agg(F.count("*").alias("n"), F.avg("w").alias("avg_w"))
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "bytes" not in plan
