@@ -46,6 +46,9 @@ HEADLINE = [
     "events_hourly",
     "events_sessionize",
     "frontier_priority_topk",
+    "image_metadata_stats",
+    "image_validate_summary",
+    "image_phash_near_dups",
 ]
 
 # synthetic frontier size for the throughput job (local scale; the
@@ -150,6 +153,46 @@ def frontier_throughput(spark) -> dict:
     }
 
 
+def bloom_throughput(spark) -> dict:
+    """Sharded Bloom seen-set (north_rule FPR<=1e-6): build over the
+    frontier's URLs, probe a half-seen/half-new candidate stream.
+    The 1e10 target is the same plan with more shards (geometry math
+    asserted in tests/test_bloom.py::test_geometry_north_rule_scale)."""
+    from pyspark.sql import functions as F
+
+    from gocrawler_spark.operators import bloom as B
+
+    n = min(FRONTIER_ROWS, 2_000_000)
+    shards = 64
+    urls = synthetic_frontier(spark, n).select("url")
+    t0 = time.time()
+    bf = B.build(
+        urls, n_shards=shards, expected_keys_per_shard=n // shards, fpr=1e-6
+    ).cache()
+    bf.count()
+    t_build = time.time() - t0
+    cand = urls.limit(n // 2).unionByName(
+        spark.range(n // 2).select(
+            F.concat(F.lit("https://new"), F.col("id").cast("string"),
+                     F.lit(".example/x")).alias("url")
+        )
+    )
+    t0 = time.time()
+    res = B.probe(bf, cand, n_shards=shards)
+    n_seen = res.filter(F.col("maybe_seen")).count()
+    t_probe = time.time() - t0
+    return {
+        "keys": n,
+        "build_sec": round(t_build, 3),
+        "build_urls_per_sec": round(n / t_build),
+        "probe_rows": n,
+        "probe_sec": round(t_probe, 3),
+        "probe_urls_per_sec": round(n / t_probe),
+        "maybe_seen": n_seen,
+        "false_positives": n_seen - n // 2,
+    }
+
+
 def run_queries(spark) -> dict:
     from gocrawler_spark.queries import QUERIES
 
@@ -168,6 +211,7 @@ def main_bench():
     spark.sparkContext.setLogLevel("ERROR")
     q = run_queries(spark)
     fr = frontier_throughput(spark)
+    bl = bloom_throughput(spark)
     total = round(sum(q.values()) + fr["sec"], 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -179,6 +223,7 @@ def main_bench():
                 "queries": q,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "frontier": fr,
+                "bloom": bl,
             }
         )
     )

@@ -108,23 +108,72 @@ def candidate_links(pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
 
 
 def merge_into_frontier(
-    frontier: DataFrame, cand: DataFrame, cfg: CrawlConfig
+    frontier: DataFrame,
+    cand: DataFrame,
+    cfg: CrawlConfig,
+    bloom: DataFrame | None = None,
+    n_shards: int = 64,
 ) -> DataFrame:
     """F5/A4 cross-wave merge: existing URLs get count += delta; new
     URLs are appended with insertion seq = max_seq + rank by
     (first parent_seq, first pos) — reproducing the reference's
     append order exactly at wave=1.
 
-    Scale note: this is a full outer join on `url`. At 1e10 frontier
-    rows both sides are hash-partitioned on url (the frontier table is
-    written bucketed by xxhash64(url)), so Catalyst plans a co-located
-    sort-merge join with no frontier re-shuffle; the candidate side is
-    orders of magnitude smaller per wave. A sharded Bloom filter
-    (operators/bloom.py) cheaply pre-splits cand into likely-seen vs
-    definitely-new to shrink the join's probe side.
+    Scale note. Without a Bloom filter this is a full outer join on
+    `url`: at 1e10 frontier rows both sides are hash-partitioned on
+    url (the frontier table is written bucketed by xxhash64(url)), so
+    Catalyst plans a co-located sort-merge join with no frontier
+    re-shuffle. WITH the sharded Bloom seen-set (operators/bloom.py)
+    the plan is strictly better: candidates split into probably-seen
+    (tiny: true dups + FPR·new) and definitely-new (never joins at
+    all); the count-update join then has a wave-sized probe side that
+    Catalyst can BROADCAST against the frontier — the 1e10-row side is
+    never shuffled. Results are identical either way (no false
+    negatives), verified in tests/test_crawl_e2e.py.
     """
     max_seq = frontier.agg(F.max("seq")).first()[0]
     base = (max_seq if max_seq is not None else -1) + 1
+
+    if bloom is not None:
+        from gocrawler_spark.operators import bloom as B
+
+        probably_seen, definitely_new = B.split_candidates(
+            bloom, cand, n_shards=n_shards
+        )
+        updated = (
+            frontier.alias("f")
+            .join(F.broadcast(probably_seen.alias("c")), "url", "left")
+            .select(
+                "url",
+                F.col("f.domain").alias("domain"),
+                (F.col("f.count") + F.coalesce(F.col("c.delta"), F.lit(0))).alias(
+                    "count"
+                ),
+                F.col("f.status").alias("status"),
+                F.col("f.seq").alias("seq"),
+                F.col("f.eligible").alias("eligible"),
+            )
+        )
+        # bloom false positives: probably_seen rows NOT in the frontier
+        fp_new = probably_seen.join(frontier.select("url"), "url", "left_anti")
+        new_src = definitely_new.unionByName(fp_new)
+        new = (
+            new_src.withColumn(
+                "seq",
+                F.lit(base)
+                + F.row_number().over(Window.orderBy("first_at")).cast("long")
+                - 1,
+            )
+            .select(
+                "url",
+                "domain",
+                F.col("delta").cast("long").alias("count"),
+                F.lit(0).alias("status"),
+                "seq",
+                F.lit(True).alias("eligible"),
+            )
+        )
+        return updated.unionByName(new)
 
     joined = frontier.alias("f").join(cand.alias("c"), "url", "full_outer")
     existing = joined.filter(F.col("f.seq").isNotNull()).select(

@@ -47,6 +47,7 @@ from gocrawler_spark.config import CrawlConfig
 from gocrawler_spark.operators import corpus as CO
 from gocrawler_spark.operators import curation as CU
 from gocrawler_spark.operators import frontier as FR
+from gocrawler_spark.operators import bloom as BL
 from gocrawler_spark.operators import images as IM
 
 FETCH_SCHEMA = T.StructType(
@@ -90,6 +91,7 @@ class CrawlState:
     accepted: DataFrame  # accepted docs
     ranking_rows: DataFrame  # S6 CSV analog
     images: DataFrame | None = None  # input_hint payload table (graft)
+    bloom: DataFrame | None = None  # sharded seen-set accelerator
     wave: int = 0
 
 
@@ -102,6 +104,8 @@ class CrawlEngine:
         lang_gate=CU.default_lang_gate,
         checkpoint_dir: str | None = None,
         with_images: bool = False,
+        use_bloom: bool = False,
+        bloom_shards: int = 32,
     ):
         from gocrawler_spark.sources import synthetic_web
 
@@ -111,6 +115,8 @@ class CrawlEngine:
         self.lang_gate = lang_gate
         self.checkpoint_dir = checkpoint_dir
         self.with_images = with_images
+        self.use_bloom = use_bloom
+        self.bloom_shards = bloom_shards
         self.state = self._init_state()
 
     # ------------------------------------------------------------------
@@ -142,6 +148,16 @@ class CrawlEngine:
                 " signature string, best_paragraph string"
             ),
             images=IM.empty_images(s) if self.with_images else None,
+            bloom=(
+                BL.build(
+                    FR.bootstrap_frontier(s, self.cfg).select("url"),
+                    n_shards=self.bloom_shards,
+                    expected_keys_per_shard=200_000,
+                    fpr=self.cfg.bloom_fpr,
+                )
+                if self.use_bloom
+                else None
+            ),
         )
 
     def _pin(self, df: DataFrame) -> DataFrame:
@@ -347,7 +363,26 @@ class CrawlEngine:
         )
         parents = boot_parents.unionByName(accepted_parents)
         cand = FR.candidate_links(parents, cfg)
-        st.frontier = self._pin(FR.merge_into_frontier(st.frontier, cand, cfg))
+        st.frontier = self._pin(
+            FR.merge_into_frontier(
+                st.frontier, cand, cfg, bloom=st.bloom, n_shards=self.bloom_shards
+            )
+        )
+        if self.use_bloom:
+            # grow the seen-set by ALL wave candidates (superset of the
+            # newly appended URLs — harmless for a Bloom filter, avoids
+            # an extra new-vs-old join just for bookkeeping)
+            st.bloom = self._pin(
+                BL.merge(
+                    st.bloom,
+                    BL.build(
+                        cand.select("url"),
+                        n_shards=self.bloom_shards,
+                        expected_keys_per_shard=200_000,
+                        fpr=cfg.bloom_fpr,
+                    ),
+                )
+            )
         return True
 
     def run(self, max_steps: int = 1000) -> CrawlState:

@@ -149,3 +149,23 @@ def test_crawl_wave_images_invariant(spark):
     assert bad.count() == 0
     # idempotence: image_ids unique (first-fetch-only extraction)
     assert st.images.select("image_id").distinct().count() == n
+
+
+def test_bloom_path_identical_results(spark):
+    """The Bloom-accelerated merge must be a pure optimization: same
+    frontier, same crawl log, same corpus — no false negatives may
+    ever change a result."""
+    cfg = _tp(wave_size=8, per_host_budget=2)
+    plain = CrawlEngine(spark, cfg).run(max_steps=3)
+    bloomed = CrawlEngine(spark, cfg, use_bloom=True, bloom_shards=8).run(max_steps=3)
+
+    def snap(st):
+        fr = sorted(
+            (r["url"], r["domain"], r["count"], r["status"], r["seq"])
+            for r in st.frontier.collect()
+        )
+        log = sorted((r["wave"], r["url"]) for r in st.crawl_log.collect())
+        corp = sorted((r["token"], r["count"]) for r in st.corpus_freq.collect())
+        return fr, log, corp
+
+    assert snap(plain) == snap(bloomed)
