@@ -49,6 +49,7 @@ from gocrawler_spark.operators import curation as CU
 from gocrawler_spark.operators import frontier as FR
 from gocrawler_spark.operators import bloom as BL
 from gocrawler_spark.operators import images as IM
+from gocrawler_spark.operators import politeness as PO
 
 FETCH_SCHEMA = T.StructType(
     [
@@ -92,6 +93,7 @@ class CrawlState:
     ranking_rows: DataFrame  # S6 CSV analog
     images: DataFrame | None = None  # input_hint payload table (graft)
     bloom: DataFrame | None = None  # sharded seen-set accelerator
+    robots: DataFrame | None = None  # robots.txt cache (politeness)
     wave: int = 0
 
 
@@ -106,6 +108,9 @@ class CrawlEngine:
         with_images: bool = False,
         use_bloom: bool = False,
         bloom_shards: int = 32,
+        use_robots: bool = False,
+        wave_budget_ms: int = 4000,
+        robots_fn=None,
     ):
         from gocrawler_spark.sources import synthetic_web
 
@@ -117,6 +122,9 @@ class CrawlEngine:
         self.with_images = with_images
         self.use_bloom = use_bloom
         self.bloom_shards = bloom_shards
+        self.use_robots = use_robots
+        self.wave_budget_ms = wave_budget_ms
+        self.robots_fn = robots_fn
         self.state = self._init_state()
 
     # ------------------------------------------------------------------
@@ -158,6 +166,7 @@ class CrawlEngine:
                 if self.use_bloom
                 else None
             ),
+            robots=PO.empty_robots(s) if self.use_robots else None,
         )
 
     def _pin(self, df: DataFrame) -> DataFrame:
@@ -207,6 +216,32 @@ class CrawlEngine:
         st.wave += 1
         wave = st.wave
 
+        # ---- politeness (north_rule): robots cache + token budget ----
+        blocked_urls = None
+        if self.use_robots:
+            st.robots = self._pin(
+                PO.fetch_missing_robots(
+                    st.robots, sel, wave, robots_fn=self.robots_fn, seed=cfg.seed
+                )
+            )
+            g = PO.token_budget_cap(
+                PO.robots_gate(sel, st.robots), wave_budget_ms=self.wave_budget_ms
+            )
+            # disallowed -> refused (status 3, no fetch); over-budget ->
+            # deferred (stay pending, compete again next wave)
+            blocked_urls = self._pin(
+                g.filter(~F.col("robots_allowed")).select("url")
+            )
+            sel = self._pin(
+                g.filter(F.col("robots_allowed") & F.col("within_budget")).select(
+                    "url", "domain", "count", "status", "seq", "priority", "sel_rank"
+                ).unionByName(
+                    g.filter(~F.col("robots_allowed")).select(
+                        "url", "domain", "count", "status", "seq", "priority", "sel_rank"
+                    )
+                )
+            )
+
         # A3: selection-time domain counter increment (crawler.go:420)
         st.domain_counter = self._pin(
             CO.merge_freq(
@@ -228,6 +263,12 @@ class CrawlEngine:
             ),
             "domain",
         ).select("url")
+        if blocked_urls is not None:
+            # robots-disallowed: never fetched, never served from cache
+            cached = cached.join(blocked_urls, "url", "left_anti")
+            refused = refused.unionByName(
+                sel.join(blocked_urls, "url", "left_semi").select("url")
+            ).distinct()
         fetchable = to_fetch.join(refused, "url", "left_anti")
         # scale: repartition by domain bounds per-task host fan-out and
         # keeps politeness group-local; per_host_budget bounds skew.
