@@ -50,6 +50,7 @@ from gocrawler_spark.operators import frontier as FR
 from gocrawler_spark.operators import bloom as BL
 from gocrawler_spark.operators import images as IM
 from gocrawler_spark.operators import politeness as PO
+from gocrawler_spark.plans.store import TableStore
 
 FETCH_SCHEMA = T.StructType(
     [
@@ -111,6 +112,7 @@ class CrawlEngine:
         use_robots: bool = False,
         wave_budget_ms: int = 4000,
         robots_fn=None,
+        checkpoint_every: int = 1,
     ):
         from gocrawler_spark.sources import synthetic_web
 
@@ -125,6 +127,8 @@ class CrawlEngine:
         self.use_robots = use_robots
         self.wave_budget_ms = wave_budget_ms
         self.robots_fn = robots_fn
+        self.checkpoint_every = checkpoint_every
+        self.store = TableStore(checkpoint_dir) if checkpoint_dir else None
         self.state = self._init_state()
 
     # ------------------------------------------------------------------
@@ -426,8 +430,59 @@ class CrawlEngine:
             )
         return True
 
+    def _state_tables(self) -> dict:
+        st = self.state
+        return {
+            "frontier": st.frontier,
+            "domain_counter": st.domain_counter,
+            "fail_counts": st.fail_counts,
+            "pages": st.pages,
+            "signatures": st.signatures,
+            "corpus_freq": st.corpus_freq,
+            "crawl_log": st.crawl_log,
+            "accepted": st.accepted,
+            "ranking_rows": st.ranking_rows,
+            "images": st.images,
+            "bloom": st.bloom,
+            "robots": st.robots,
+        }
+
+    def checkpoint(self) -> None:
+        """Snapshot all state tables + commit the manifest (atomic)."""
+        if self.store is None:
+            return
+        self.store.write_snapshot(
+            self.state.wave,
+            self._state_tables(),
+            metrics={"wave": self.state.wave},
+        )
+
+    @classmethod
+    def resume(cls, spark: SparkSession, cfg: CrawlConfig, checkpoint_dir: str, **kw):
+        """Reconstruct an engine from the last committed snapshot.
+        Exact resume: the restored state is byte-identical to the
+        checkpointed one, so continuing produces the same results as a
+        never-interrupted run (tests/test_resume.py)."""
+        eng = cls(spark, cfg, checkpoint_dir=checkpoint_dir, **kw)
+        loaded = eng.store.load_snapshot(spark)
+        if loaded is None:
+            return eng
+        wave, tables = loaded
+        st = eng.state
+        for name, df in tables.items():
+            if getattr(st, name, None) is not None or name in (
+                "images", "bloom", "robots",
+            ):
+                setattr(st, name, eng._pin(df))
+        st.wave = wave
+        return eng
+
     def run(self, max_steps: int = 1000) -> CrawlState:
         for _ in range(max_steps):
             if not self.step():
                 break
+            if self.store is not None and (
+                self.state.wave % self.checkpoint_every == 0
+            ):
+                self.checkpoint()
         return self.state
