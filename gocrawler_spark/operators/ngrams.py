@@ -1,0 +1,180 @@
+"""N-gram miner — W3 (sentence-dedup sliding windows), A7 (bounded
+freq), W4 (cross-level subset/superset pruning).
+
+Reference: ngramsOf crawler.go:834-917, ngramsFreqsOf
+crawler.go:919-938, ngramsFreqsOfAll crawler.go:979-1031.
+
+Semantics reproduced:
+- sentences: ``.\\n`` → newline, ``. `` → newline, split ``[\\r\\n]+``
+  (crawler.go:837-840 + splitParagraphs);
+- per-sentence signature = Go %v render of the top-7 analyzed tokens
+  by (count desc, token desc); FIRST sentence per signature survives
+  (crawler.go:842-868) — here "first" is (doc_id, pos) order, which
+  equals the reference's encounter order over the concatenated corpus;
+- punctuation scrub ``[*()?\\-,:#\\[\\]"]+`` → space (crawler.go:878);
+- grams = n consecutive ASCII ``\\w+`` tokens (Go RE2 ``[^\\W]+`` is
+  ASCII), space-joined. (Divergence, documented: the reference keeps
+  the original separator character between tokens after collapsing —
+  e.g. an apostrophe; with the scrub applied the separators are
+  near-always spaces, and space-join is what the DuckDB oracle can
+  express. tests/test_ngrams.py pins the behavior.);
+- border filter: first token must not full-match (?i)(stop|lowrel),
+  last token must not full-match (?i)(stop) — the left/right asymmetry
+  of lowRelevancyWordsOnBorderCount (crawler.go:633-643);
+- ignore grams containing a token (?i)(cite_note|cite_ref|https*)
+  (crawler.go:883-884,903);
+- per level: count, keep freq >= 3, total order (cnt desc, gram desc),
+  keep the first 101 rows (the Go loop breaks at counter > 100 —
+  an off-by-one kept faithfully, crawler.go:929-933);
+- pruning (crawler.go:992-1020), per level n from nMax down to 2,
+  always against the RAW neighbor level lists:
+    * n < nMax: ignore g if any (n+1)-level s with contains(s, g) and
+      s.cnt > g.cnt/2 (integer division);
+    * n > 2:    ignore g if any (n-1)-level s with contains(g, s) and
+      s.cnt > 2*g.cnt.
+
+Scale design: sentence dedup is one window over signature (shuffle on
+signature); gram counting is explode → groupBy (map-side combine);
+each level is capped at 101 rows, so the cross-level pruning joins are
+broadcast nested-loop joins over <=101-row sides — negligible at any
+corpus size. The expensive stages are all linear scans.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gocrawler_spark.config import CrawlConfig
+from gocrawler_spark.functions import text as TX
+
+SCRUB_RE = r'[*()?\-,:#\[\]"]+'
+GRAM_TOKEN_RE = r"(\w+)"  # ASCII word runs — Go RE2 [^\W]+ parity
+IGNORE_TOKEN_RE = r"(?i)^(cite_note|cite_ref|https*)$"
+
+
+def sentences_of(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pos, sentence) — sentence-as-paragraph split."""
+    t = F.regexp_replace(F.col(text_col), r"\.\n", "\n")
+    t = F.regexp_replace(t, r"\. ", "\n")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(t, r"[\r\n]+")).alias("pos", "sentence"),
+    )
+
+
+def dedup_sentences(sents: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """First sentence per top-7-token signature wins (W3 dedup)."""
+    toks = TX.analyzed_tokens(F.col("sentence"), cfg)
+    counted = (
+        sents.withColumn("tok", F.explode_outer(toks))
+        .groupBy("doc_id", "pos", "sentence", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id", "pos", "sentence")
+        .agg(
+            F.collect_list(
+                F.when(
+                    F.col("tok").isNotNull(),
+                    F.struct(F.col("cnt").cast("int").alias("count"), F.col("tok").alias("token")),
+                )
+            ).alias("token_counts")
+        )
+    )
+    sig = TX.signature_expr(F.col("token_counts"), 7)
+    w = Window.partitionBy("signature").orderBy("doc_id", "pos")
+    return (
+        counted.withColumn("signature", sig)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "pos", "sentence", "signature")
+    )
+
+
+def _gram_tokens(sentence) -> "F.Column":
+    scrubbed = F.regexp_replace(sentence, SCRUB_RE, " ")
+    return F.regexp_extract_all(scrubbed, F.lit(GRAM_TOKEN_RE), F.lit(1))
+
+
+def ngrams_of_sentences(sents: DataFrame, cfg: CrawlConfig, n: int) -> DataFrame:
+    """One row per accepted n-gram occurrence: (gram)."""
+    toks = _gram_tokens(F.col("sentence"))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.slice(toks, i, n),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    left_re = r"(?i)^(" + cfg.border_left_lowrel + r")$"
+    right_re = r"(?i)^(" + cfg.border_right_stop + r")$"
+    g = sents.select(F.explode(grams).alias("toks"))
+    ok = (
+        ~F.element_at(F.col("toks"), 1).rlike(left_re)
+        & ~F.element_at(F.col("toks"), -1).rlike(right_re)
+        & ~F.exists(F.col("toks"), lambda t: t.rlike(IGNORE_TOKEN_RE))
+    )
+    return g.filter(ok).select(F.array_join("toks", " ").alias("gram"))
+
+
+def ngram_level(sents: DataFrame, cfg: CrawlConfig, n: int) -> DataFrame:
+    """A7: (gram, cnt) — freq >= 3, reference total order, first 101."""
+    return (
+        ngrams_of_sentences(sents, cfg, n)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 3)
+        .orderBy(F.desc("cnt"), F.desc("gram"))
+        .limit(101)
+    )
+
+
+def ngrams_all_levels(
+    docs: DataFrame, cfg: CrawlConfig, n_max: int = 4,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """W4: mine levels n_max..2, prune, return (n, gram, cnt).
+
+    Pruning joins are broadcast nested-loop over <=101-row sides.
+    """
+    sents = dedup_sentences(sentences_of(docs, text_col, id_col), cfg)
+    sents = sents.cache()
+    levels = {n: ngram_level(sents, cfg, n).cache() for n in range(2, n_max + 1)}
+    kept = []
+    for n in range(n_max, 1, -1):
+        df = levels[n]
+        ignores = []
+        if n < n_max:
+            sup = F.broadcast(
+                levels[n + 1].select(
+                    F.col("gram").alias("sup_gram"), F.col("cnt").alias("sup_cnt")
+                )
+            )
+            ignores.append(
+                df.join(
+                    sup,
+                    F.col("sup_gram").contains(F.col("gram"))
+                    & (F.col("sup_cnt") > F.floor(F.col("cnt") / 2)),
+                    "left_semi",
+                )
+            )
+        if n > 2:
+            sub = F.broadcast(
+                levels[n - 1].select(
+                    F.col("gram").alias("sub_gram"), F.col("cnt").alias("sub_cnt")
+                )
+            )
+            ignores.append(
+                df.join(
+                    sub,
+                    F.col("gram").contains(F.col("sub_gram"))
+                    & (F.col("sub_cnt") > 2 * F.col("cnt")),
+                    "left_semi",
+                )
+            )
+        if ignores:
+            ignored = reduce(lambda a, b: a.unionByName(b), ignores).distinct()
+            df = df.join(ignored.select("gram"), "gram", "left_anti")
+        kept.append(df.select(F.lit(n).alias("n"), "gram", "cnt"))
+    return reduce(lambda a, b: a.unionByName(b), kept)

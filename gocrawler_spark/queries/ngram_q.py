@@ -1,0 +1,151 @@
+"""N-gram miner queries (W3/A7/W4) with DuckDB oracles.
+
+The oracle SQL is generated from the same CrawlConfig regex material
+as the Spark plan, so both sides share the stopword/border alternations
+verbatim (both engines are RE2-compatible on these constructs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gocrawler_spark.config import covid_profile
+from gocrawler_spark.operators import ngrams as NG
+from gocrawler_spark.queries import load, register
+
+_CFG = covid_profile()
+
+N_MAX = 4
+
+_STOPFULL = _CFG.stop_token_fullmatch
+_LEFT = r"(?i)^(" + _CFG.border_left_lowrel + r")$"
+_RIGHT = r"(?i)^(" + _CFG.border_right_stop + r")$"
+_IGN = NG.IGNORE_TOKEN_RE
+_SCRUB = NG.SCRUB_RE
+
+
+def _level_ctes(n: int) -> str:
+    return f"""
+l{n}_raw AS (
+  SELECT list_slice(T, i, i+{n}-1) AS gt
+  FROM (SELECT T, unnest(range(1, len(T) - {n} + 2)) AS i
+        FROM gtoks WHERE len(T) >= {n})
+),
+l{n} AS (
+  SELECT gram, cnt FROM (
+    SELECT array_to_string(gt, ' ') AS gram, count(*) AS cnt
+    FROM l{n}_raw
+    WHERE NOT regexp_matches(gt[1], '{_LEFT}')
+      AND NOT regexp_matches(gt[-1], '{_RIGHT}')
+      AND len(list_filter(gt, t -> regexp_matches(t, '{_IGN}'))) = 0
+    GROUP BY gram HAVING count(*) >= 3
+  ) QUALIFY row_number() OVER (ORDER BY cnt DESC, gram DESC) <= 101
+)"""
+
+
+_NGRAM_BASE_SQL = (
+    """
+WITH sents AS (
+  SELECT doc_id, i AS pos, L[i] AS sentence
+  FROM (
+    SELECT doc_id,
+           string_split_regex(
+             replace(replace(text, '.' || chr(10), chr(10)), '. ', chr(10)),
+             '[\\r\\n]+') AS L
+    FROM documents
+  ), (SELECT 1) _dummy, LATERAL (SELECT unnest(range(1, len(L) + 1)) AS i)
+),
+analyzed AS (
+  SELECT doc_id, pos,
+         list_filter(
+           list_transform(regexp_extract_all(sentence, '(\\w+)', 1),
+                          t -> lower(t)),
+           t -> NOT regexp_matches(t, '"""
+    + _STOPFULL
+    + """')) AS atoks
+  FROM sents
+),
+tokcnt AS (
+  SELECT doc_id, pos, tok, count(*) AS cnt
+  FROM (SELECT doc_id, pos, unnest(atoks) AS tok FROM analyzed)
+  GROUP BY doc_id, pos, tok
+),
+sigs AS (
+  SELECT doc_id, pos,
+         '[' || array_to_string(
+           list_transform(
+             list_slice(list(struct_pack(cnt := cnt, tok := tok)
+                             ORDER BY cnt DESC, tok DESC), 1, 7),
+             x -> x.tok), ' ') || ']' AS signature
+  FROM tokcnt GROUP BY doc_id, pos
+),
+dedup AS (
+  SELECT s.doc_id, s.pos, s.sentence,
+         coalesce(g.signature, '[]') AS signature
+  FROM sents s LEFT JOIN sigs g ON s.doc_id = g.doc_id AND s.pos = g.pos
+  QUALIFY row_number() OVER (PARTITION BY signature
+                             ORDER BY s.doc_id, s.pos) = 1
+),
+gtoks AS (
+  SELECT regexp_extract_all(
+           regexp_replace(sentence, '"""
+    + _SCRUB.replace("'", "''")
+    + """', ' ', 'g'),
+           '(\\w+)', 1) AS T
+  FROM dedup
+),
+"""
+    + ",".join(_level_ctes(n) for n in range(2, N_MAX + 1))
+)
+
+_PRUNED_SQL = (
+    _NGRAM_BASE_SQL
+    + f""",
+l4_kept AS (
+  SELECT gram, cnt FROM l4 g
+  WHERE NOT EXISTS (SELECT 1 FROM l3 s
+                    WHERE contains(g.gram, s.gram) AND s.cnt > 2 * g.cnt)
+),
+l3_kept AS (
+  SELECT gram, cnt FROM l3 g
+  WHERE NOT EXISTS (SELECT 1 FROM l4 s
+                    WHERE contains(s.gram, g.gram) AND s.cnt > g.cnt // 2)
+    AND NOT EXISTS (SELECT 1 FROM l2 s
+                    WHERE contains(g.gram, s.gram) AND s.cnt > 2 * g.cnt)
+),
+l2_kept AS (
+  SELECT gram, cnt FROM l2 g
+  WHERE NOT EXISTS (SELECT 1 FROM l3 s
+                    WHERE contains(s.gram, g.gram) AND s.cnt > g.cnt // 2)
+)
+SELECT 4 AS n, gram, cnt FROM l4_kept
+UNION ALL SELECT 3 AS n, gram, cnt FROM l3_kept
+UNION ALL SELECT 2 AS n, gram, cnt FROM l2_kept
+ORDER BY n DESC, cnt DESC, gram DESC
+"""
+)
+
+_TRIGRAM_SQL = _NGRAM_BASE_SQL + """
+SELECT gram, cnt FROM l3 ORDER BY cnt DESC, gram DESC
+"""
+
+
+@register("ngrams_pruned_2to4", _PRUNED_SQL)
+def ngrams_pruned_2to4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full W3/A7/W4 miner over documents: sentence dedup, bordered
+    n-grams for n=2..4, per-level (freq>=3, top-101) caps, cross-level
+    subset/superset pruning."""
+    docs = load(spark, sf_dir, "documents")
+    return NG.ngrams_all_levels(docs, _CFG, n_max=N_MAX).orderBy(
+        F.desc("n"), F.desc("cnt"), F.desc("gram")
+    )
+
+
+@register("trigrams_bounded", _TRIGRAM_SQL)
+def trigrams_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3+A7 at n=3 (single level, no pruning): exercises sentence
+    dedup + border filters + the 101-row reference cap in isolation."""
+    docs = load(spark, sf_dir, "documents")
+    sents = NG.dedup_sentences(NG.sentences_of(docs), _CFG)
+    return NG.ngram_level(sents, _CFG, 3).orderBy(F.desc("cnt"), F.desc("gram"))
