@@ -1,0 +1,136 @@
+"""Structured Streaming corpus analytics.
+
+The reference's corpus aggregation IS a stream: accepted docs arrive
+one at a time and fold into global term frequencies with periodic
+top-100 snapshots (crawler.go:1061,1282,1285-1345 — SURVEY §2.8).
+The crawl loop itself stays an iterative-batch wave engine (the
+engine generates its own input; exact ordering needs wave barriers),
+but the DOWNSTREAM analytics consume the accepted-docs table as a
+proper stream:
+
+- `accepted_docs_stream`: file-source stream over the accepted-docs
+  directory (new parquet files = new docs, exactly-once per file via
+  the checkpointed file index);
+- `streaming_corpus_freq`: explode(analyzed tokens) → groupBy(token)
+  — incremental hash aggregation; Spark keeps the running counts in
+  state store, update mode emits only changed tokens per batch;
+- `streaming_signature_dedup`: the P5 near-dup gate as a streaming
+  dropDuplicates over the doc signature, with an event-time watermark
+  bounding state (late duplicates beyond the watermark age out —
+  the reference has no late data, so the watermark is a pure
+  state-size control at scale);
+- `windowed_doc_rate`: tumbling event-time window + watermark over
+  accept timestamps (docs/min with late-data tolerance) — the
+  streaming analog of the reference's every-50-docs checkpoint
+  cadence;
+- `merge_stream_into_corpus`: foreachBatch MERGE of per-batch token
+  deltas into a parquet corpus_freq table — the same merge_freq
+  operator the wave engine uses, applied incrementally.
+
+Scale: state is keyed by token / signature — both hash-partitioned by
+the state store; per-batch shuffle is the same explode→groupBy plan
+as the batch path (map-side partial aggregation applies).
+
+Tested with trigger(availableNow) in tests/test_streaming.py:
+cross-batch state accumulation + checkpoint restart equivalence.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gocrawler_spark.config import CrawlConfig
+from gocrawler_spark.functions import text as TX
+from gocrawler_spark.operators import corpus as CO
+
+ACCEPTED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("curated", T.StringType(), True),
+        T.StructField("signature", T.StringType(), True),
+        T.StructField("accepted_at", T.TimestampType(), True),
+    ]
+)
+
+
+def accepted_docs_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(ACCEPTED_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def streaming_corpus_freq(docs: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """A2 as an incremental aggregation: (token, count) running totals."""
+    toks = TX.analyzed_tokens(F.col("curated"), cfg)
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def streaming_signature_dedup(
+    docs: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """P5 streaming analog: first doc per signature passes; duplicates
+    within the watermark horizon are dropped; state ages out beyond it."""
+    return docs.withWatermark("accepted_at", watermark).dropDuplicates(
+        ["signature"]
+    )
+
+
+def windowed_doc_rate(docs: DataFrame, watermark: str = "5 minutes") -> DataFrame:
+    """Tumbling 1-minute accept-rate with late-data tolerance."""
+    return (
+        docs.withWatermark("accepted_at", watermark)
+        .groupBy(F.window("accepted_at", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(TX.tokens_count(F.col("curated"))).alias("tokens"),
+        )
+        .select(F.col("w.start").alias("window_start"), "docs", "tokens")
+    )
+
+
+def merge_stream_into_corpus(
+    docs: DataFrame,
+    cfg: CrawlConfig,
+    state_path: str,
+    checkpoint_dir: str,
+):
+    """foreachBatch: per-batch token deltas MERGEd into a parquet
+    corpus_freq state table (read-modify-write per batch; at scale the
+    state table is an Iceberg MERGE target). Returns the query."""
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = (
+            batch.select(F.explode(TX.analyzed_tokens(F.col("curated"), cfg)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+            state = spark.read.parquet(state_path)
+            merged = CO.merge_freq(state, delta)
+        else:
+            merged = delta
+        # collect to driver-side rows then rewrite: safe at corpus-vocab
+        # scale (bounded by vocabulary, not corpus size); an Iceberg
+        # MERGE INTO replaces this at 100 TB
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state_path)
+
+    return (
+        docs.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

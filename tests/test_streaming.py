@@ -1,0 +1,108 @@
+"""Structured Streaming corpus analytics: cross-batch state
+accumulation, checkpointed exactly-once file processing, streaming
+dedup, windowed rates."""
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gocrawler_spark.config import test_profile as _tp
+from gocrawler_spark.streaming import corpus_stream as CS
+
+CFG = _tp()
+
+T0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _write_docs(spark, path, rows):
+    df = spark.createDataFrame(rows, CS.ACCEPTED_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _rows(batch, start_i):
+    out = []
+    for i, (text, sig) in enumerate(batch):
+        out.append(
+            (
+                f"https://s.example/p{start_i + i}",
+                text,
+                sig,
+                T0 + datetime.timedelta(seconds=30 * (start_i + i)),
+            )
+        )
+    return out
+
+
+def test_corpus_freq_accumulates_across_batches(spark, tmp_path):
+    inp, ckpt, state = (str(tmp_path / d) for d in ("in", "ck", "state"))
+    os.makedirs(inp, exist_ok=True)
+
+    _write_docs(spark, inp, _rows([("quark lepton quark", "s1"),
+                                   ("lepton boson", "s2")], 0))
+    q = CS.merge_stream_into_corpus(
+        CS.accepted_docs_stream(spark, inp), CFG, state, ckpt
+    )
+    q.awaitTermination()
+    got = {r["token"]: r["count"] for r in spark.read.parquet(state).collect()}
+    assert got == {"quark": 2, "lepton": 2, "boson": 1}
+
+    # batch 2 arrives later; restart from the SAME checkpoint
+    _write_docs(spark, inp, _rows([("boson boson gluon", "s3")], 2))
+    q2 = CS.merge_stream_into_corpus(
+        CS.accepted_docs_stream(spark, inp), CFG, state, ckpt
+    )
+    q2.awaitTermination()
+    got2 = {r["token"]: r["count"] for r in spark.read.parquet(state).collect()}
+    assert got2 == {"quark": 2, "lepton": 2, "boson": 3, "gluon": 1}
+
+    # restart with nothing new: exactly-once (no double count)
+    q3 = CS.merge_stream_into_corpus(
+        CS.accepted_docs_stream(spark, inp), CFG, state, ckpt
+    )
+    q3.awaitTermination()
+    got3 = {r["token"]: r["count"] for r in spark.read.parquet(state).collect()}
+    assert got3 == got2
+
+
+def test_streaming_signature_dedup(spark, tmp_path):
+    inp, ckpt = str(tmp_path / "in2"), str(tmp_path / "ck2")
+    os.makedirs(inp, exist_ok=True)
+    _write_docs(
+        spark, inp,
+        _rows([("a b", "sigX"), ("c d", "sigX"), ("e f", "sigY")], 0),
+    )
+    out = (
+        CS.streaming_signature_dedup(CS.accepted_docs_stream(spark, inp))
+        .writeStream.format("memory").queryName("dedup_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    out.awaitTermination()
+    rows = spark.sql("select signature, url from dedup_sink").collect()
+    sigs = sorted(r["signature"] for r in rows)
+    assert sigs == ["sigX", "sigY"]  # duplicate sigX dropped in-stream
+
+
+def test_windowed_doc_rate(spark, tmp_path):
+    inp, ckpt = str(tmp_path / "in3"), str(tmp_path / "ck3")
+    os.makedirs(inp, exist_ok=True)
+    # 3 docs in minute 0, 1 doc in minute 1 (30s spacing)
+    _write_docs(
+        spark, inp,
+        _rows([("w x", "a"), ("y z", "b"), ("p q", "c"), ("r s", "d")], 0),
+    )
+    out = (
+        CS.windowed_doc_rate(CS.accepted_docs_stream(spark, inp))
+        .writeStream.format("memory").queryName("rate_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    out.awaitTermination()
+    rows = {
+        r["window_start"].minute: (r["docs"], r["tokens"])
+        for r in spark.sql("select * from rate_sink").collect()
+    }
+    # 30s spacing: minute-0 window holds t=0,30s; minute-1 holds 60,90s
+    assert rows == {0: (2, 4), 1: (2, 4)}
