@@ -30,6 +30,56 @@ from pyspark.sql import types as T
 from gocrawler_spark.config import CrawlConfig
 from gocrawler_spark.functions import urls as U
 
+def _assign_seq(new_rows: DataFrame, base: int) -> DataFrame:
+    """Dense insertion seq for new URLs ordered by first_at =
+    (parent_seq, pos), WITHOUT a single-partition global window.
+
+    A global `row_number().over(Window.orderBy(first_at))` funnels
+    every new row through one task (measured: the dominant cost of the
+    merge at 5M rows, and it cannot scale). Because the order key is
+    (parent_seq, pos), ranking decomposes:
+
+      1. rank within parent: window partitioned by parent_seq —
+         fully parallel;
+      2. offset per parent: cumulative sum of per-parent counts over
+         parent_seq order — a window over ONE ROW PER PARENT (wave-
+         sized, thousands not millions), broadcast-joined back.
+
+    seq = base + offset + rank - 1: byte-identical to the global
+    window (first_at is unique per URL), verified by the exact-parity
+    e2e suite."""
+    ranked = new_rows.withColumn(
+        "local_rank",
+        F.row_number().over(
+            Window.partitionBy(F.col("first_at.parent_seq")).orderBy(
+                F.col("first_at.pos")
+            )
+        ),
+    )
+    offsets = (
+        new_rows.groupBy(F.col("first_at.parent_seq").alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("p").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("p", "offset")
+    )
+    return ranked.join(
+        F.broadcast(offsets), F.col("first_at.parent_seq") == F.col("p")
+    ).withColumn(
+        "seq",
+        (F.lit(base) + F.col("offset") + F.col("local_rank") - 1).cast("long"),
+    ).drop("p", "offset", "local_rank")
+
+
 FRONTIER_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -113,23 +163,31 @@ def merge_into_frontier(
     cfg: CrawlConfig,
     bloom: DataFrame | None = None,
     n_shards: int = 64,
+    pin=None,
 ) -> DataFrame:
     """F5/A4 cross-wave merge: existing URLs get count += delta; new
     URLs are appended with insertion seq = max_seq + rank by
     (first parent_seq, first pos) — reproducing the reference's
     append order exactly at wave=1.
 
-    Scale note. Without a Bloom filter this is a full outer join on
-    `url`: at 1e10 frontier rows both sides are hash-partitioned on
-    url (the frontier table is written bucketed by xxhash64(url)), so
-    Catalyst plans a co-located sort-merge join with no frontier
-    re-shuffle. WITH the sharded Bloom seen-set (operators/bloom.py)
-    the plan is strictly better: candidates split into probably-seen
-    (tiny: true dups + FPR·new) and definitely-new (never joins at
-    all); the count-update join then has a wave-sized probe side that
-    Catalyst can BROADCAST against the frontier — the 1e10-row side is
-    never shuffled. Results are identical either way (no false
-    negatives), verified in tests/test_crawl_e2e.py.
+    Physical design (the measured-at-5M-rows version):
+    - count update = frontier LEFT JOIN candidates. With the Bloom
+      split the probe side is tiny (true dups + FPR·new) and is
+      broadcast — the 1e10-row frontier is never shuffled. Without
+      Bloom, Catalyst/AQE picks the strategy (broadcast when the wave
+      is small enough, else a co-located SMJ against the url-bucketed
+      frontier table).
+    - new rows = candidates ANTI JOIN frontier (skipped entirely for
+      the Bloom definitely-new set), PINNED via localCheckpoint before
+      seq assignment: _assign_seq consumes its input twice (ranking +
+      offsets), and without the pin the join would re-execute per use
+      (measured 2-4x the merge cost, with AQE reuse being unreliable).
+      Callers running many waves pass `pin` (a PinSet.pin) so the block
+      is freed once the merged frontier is materialized — the default
+      bare localCheckpoint is never freed by Spark (see pins.py).
+    - seq assignment is the two-level rank of _assign_seq — no
+      single-partition window anywhere in the merge.
+    Results are byte-identical with and without bloom (e2e-tested).
     """
     max_seq = frontier.agg(F.max("seq")).first()[0]
     base = (max_seq if max_seq is not None else -1) + 1
@@ -140,72 +198,41 @@ def merge_into_frontier(
         probably_seen, definitely_new = B.split_candidates(
             bloom, cand, n_shards=n_shards
         )
-        updated = (
-            frontier.alias("f")
-            .join(F.broadcast(probably_seen.alias("c")), "url", "left")
-            .select(
-                "url",
-                F.col("f.domain").alias("domain"),
-                (F.col("f.count") + F.coalesce(F.col("c.delta"), F.lit(0))).alias(
-                    "count"
-                ),
-                F.col("f.status").alias("status"),
-                F.col("f.seq").alias("seq"),
-                F.col("f.eligible").alias("eligible"),
-            )
-        )
-        # bloom false positives: probably_seen rows NOT in the frontier
-        fp_new = probably_seen.join(frontier.select("url"), "url", "left_anti")
-        new_src = definitely_new.unionByName(fp_new)
-        new = (
-            new_src.withColumn(
-                "seq",
-                F.lit(base)
-                + F.row_number().over(Window.orderBy("first_at")).cast("long")
-                - 1,
-            )
-            .select(
-                "url",
-                "domain",
-                F.col("delta").cast("long").alias("count"),
-                F.lit(0).alias("status"),
-                "seq",
-                F.lit(True).alias("eligible"),
-            )
-        )
-        return updated.unionByName(new)
+        probe = F.broadcast(probably_seen)
+    else:
+        probably_seen, definitely_new = cand, None
+        probe = probably_seen
 
-    joined = frontier.alias("f").join(cand.alias("c"), "url", "full_outer")
-    existing = joined.filter(F.col("f.seq").isNotNull()).select(
-        "url",
-        F.col("f.domain").alias("domain"),
-        (F.col("f.count") + F.coalesce(F.col("c.delta"), F.lit(0))).alias("count"),
-        F.col("f.status").alias("status"),
-        F.col("f.seq").alias("seq"),
-        F.col("f.eligible").alias("eligible"),
-    )
-    new = (
-        joined.filter(F.col("f.seq").isNull())
-        .select("url", F.col("c.domain").alias("domain"),
-                F.col("c.delta").alias("count"), F.col("c.first_at").alias("first_at"))
-        .withColumn(
-            "seq",
-            F.lit(base)
-            + F.row_number().over(Window.orderBy("first_at")).cast("long")
-            - 1,
-        )
+    updated = (
+        frontier.alias("f")
+        .join(probe.alias("c").select("url", "delta"), "url", "left")
         .select(
             "url",
-            "domain",
-            F.col("count").cast("long"),
-            F.lit(0).alias("status"),
-            "seq",
-            # candidates already passed insert-time filters, and they are
-            # stricter than the selection-time re-check (crawler.go:407)
-            F.lit(True).alias("eligible"),
+            F.col("f.domain").alias("domain"),
+            (F.col("f.count") + F.coalesce(F.col("delta"), F.lit(0))).alias("count"),
+            F.col("f.status").alias("status"),
+            F.col("f.seq").alias("seq"),
+            F.col("f.eligible").alias("eligible"),
         )
     )
-    return existing.unionByName(new)
+    fp_new = probably_seen.join(frontier.select("url"), "url", "left_anti")
+    new_src = (
+        fp_new if definitely_new is None else definitely_new.unionByName(fp_new)
+    )
+    if pin is None:
+        pin = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    new_src = pin(new_src.select("url", "domain", "delta", "first_at"))
+    new = _assign_seq(new_src, base).select(
+        "url",
+        "domain",
+        F.col("delta").cast("long").alias("count"),
+        F.lit(0).alias("status"),
+        "seq",
+        # candidates already passed insert-time filters, and they are
+        # stricter than the selection-time re-check (crawler.go:407)
+        F.lit(True).alias("eligible"),
+    )
+    return updated.unionByName(new)
 
 
 def select_wave(

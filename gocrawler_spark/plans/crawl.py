@@ -50,6 +50,7 @@ from gocrawler_spark.operators import frontier as FR
 from gocrawler_spark.operators import bloom as BL
 from gocrawler_spark.operators import images as IM
 from gocrawler_spark.operators import politeness as PO
+from gocrawler_spark.pins import PinSet
 from gocrawler_spark.plans.store import TableStore
 
 FETCH_SCHEMA = T.StructType(
@@ -129,6 +130,7 @@ class CrawlEngine:
         self.robots_fn = robots_fn
         self.checkpoint_every = checkpoint_every
         self.store = TableStore(checkpoint_dir) if checkpoint_dir else None
+        self.pins = PinSet(spark)
         self.state = self._init_state()
 
     # ------------------------------------------------------------------
@@ -174,8 +176,15 @@ class CrawlEngine:
         )
 
     def _pin(self, df: DataFrame) -> DataFrame:
-        """Truncate lineage between waves (iterative-algorithm hygiene)."""
-        return df.localCheckpoint(eager=True)
+        """Truncate lineage between waves (iterative-algorithm hygiene).
+        Tracked by self.pins; superseded pins are freed at wave end."""
+        return self.pins.pin(df)
+
+    def _gc_pins(self) -> None:
+        """Free every pin not referenced by current state — called at
+        the end of each wave, after all new state is eagerly
+        materialized. Keeps block-manager usage O(state), not O(waves)."""
+        self.pins.retain(self._state_tables().values())
 
     # ------------------------------------------------------------------
 
@@ -215,6 +224,7 @@ class CrawlEngine:
                 .withColumnRenamed("token", "domain")
                 .withColumnRenamed("count", "n_scheduled")
             )
+            self._gc_pins()
             return False
 
         st.wave += 1
@@ -410,7 +420,8 @@ class CrawlEngine:
         cand = FR.candidate_links(parents, cfg)
         st.frontier = self._pin(
             FR.merge_into_frontier(
-                st.frontier, cand, cfg, bloom=st.bloom, n_shards=self.bloom_shards
+                st.frontier, cand, cfg, bloom=st.bloom,
+                n_shards=self.bloom_shards, pin=self._pin,
             )
         )
         if self.use_bloom:
@@ -428,6 +439,7 @@ class CrawlEngine:
                     ),
                 )
             )
+        self._gc_pins()
         return True
 
     def _state_tables(self) -> dict:
