@@ -114,6 +114,8 @@ class CrawlEngine:
         wave_budget_ms: int = 4000,
         robots_fn=None,
         checkpoint_every: int = 1,
+        use_bucketed_frontier: bool = False,
+        frontier_buckets: int = 32,
     ):
         from gocrawler_spark.sources import synthetic_web
 
@@ -131,6 +133,20 @@ class CrawlEngine:
         self.checkpoint_every = checkpoint_every
         self.store = TableStore(checkpoint_dir) if checkpoint_dir else None
         self.pins = PinSet(spark)
+        # scale mode: frontier state lives in a domain-bucketed,
+        # (domain, url)-sorted table so the per-wave plans never
+        # shuffle it (plans/bucketed.py). Mutually exclusive with the
+        # Bloom split only in the sense that the bucketed merge does
+        # not need it: its anti-join is already co-located.
+        self.bfront = None
+        if use_bucketed_frontier:
+            from gocrawler_spark.plans.bucketed import BucketedFrontier
+
+            self.bfront = BucketedFrontier(
+                spark,
+                name=f"crawl_frontier_{abs(id(self)) % 10**9}",
+                n_buckets=frontier_buckets,
+            )
         self.state = self._init_state()
 
     # ------------------------------------------------------------------
@@ -138,10 +154,21 @@ class CrawlEngine:
     def _df(self, schema: str) -> DataFrame:
         return self.spark.createDataFrame([], schema)
 
+    def _set_frontier(self, plan: DataFrame) -> None:
+        """Materialize the next frontier state: bucketed-table write in
+        scale mode, localCheckpoint pin otherwise."""
+        if self.bfront is not None:
+            self.state.frontier = self.bfront.write(plan)
+        else:
+            self.state.frontier = self._pin(plan)
+
     def _init_state(self) -> CrawlState:
         s = self.spark
+        boot = FR.bootstrap_frontier(s, self.cfg)
+        if self.bfront is not None:
+            boot = self.bfront.write(boot)
         return CrawlState(
-            frontier=FR.bootstrap_frontier(s, self.cfg),
+            frontier=boot,
             domain_counter=self._df("domain string, n_scheduled long"),
             fail_counts=self._df("domain string, n_failed long"),
             pages=self._df(
@@ -343,9 +370,11 @@ class CrawlEngine:
         status_after = wave_rows.select(
             "url", F.when(F.col("ok"), 2).otherwise(3).alias("new_status")
         )
-        st.frontier = self._pin(
+        # status_after is wave-sized -> broadcast: the frontier side is
+        # streamed in place (bucketed mode: scan stays bucket-aligned)
+        self._set_frontier(
             st.frontier.alias("f")
-            .join(status_after.alias("s"), "url", "left")
+            .join(F.broadcast(status_after.alias("s")), "url", "left")
             .select(
                 "url", "domain", "count",
                 F.coalesce(F.col("s.new_status"), F.col("f.status")).alias("status"),
@@ -418,12 +447,15 @@ class CrawlEngine:
         )
         parents = boot_parents.unionByName(accepted_parents)
         cand = FR.candidate_links(parents, cfg)
-        st.frontier = self._pin(
-            FR.merge_into_frontier(
-                st.frontier, cand, cfg, bloom=st.bloom,
-                n_shards=self.bloom_shards, pin=self._pin,
+        if self.bfront is not None:
+            self._set_frontier(self.bfront.merge(cand, pin=self._pin))
+        else:
+            st.frontier = self._pin(
+                FR.merge_into_frontier(
+                    st.frontier, cand, cfg, bloom=st.bloom,
+                    n_shards=self.bloom_shards, pin=self._pin,
+                )
             )
-        )
         if self.use_bloom:
             # grow the seen-set by ALL wave candidates (superset of the
             # newly appended URLs — harmless for a Bloom filter, avoids
@@ -482,7 +514,9 @@ class CrawlEngine:
         wave, tables = loaded
         st = eng.state
         for name, df in tables.items():
-            if getattr(st, name, None) is not None or name in (
+            if name == "frontier":
+                eng._set_frontier(df)
+            elif getattr(st, name, None) is not None or name in (
                 "images", "bloom", "robots",
             ):
                 setattr(st, name, eng._pin(df))

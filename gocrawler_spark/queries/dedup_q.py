@@ -441,3 +441,210 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInPandas(bucketize, "vec_id long, bucket long")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "minhash_lsh_pairs",
+    f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, i.h AS perm,
+         min({_md5_64_sql("i.h || '#' || shingle")}) AS minhash
+  FROM doc_shingles, (SELECT unnest(range({N_MINHASH})) AS h) i
+  GROUP BY doc_id, i.h
+),
+bands AS (
+  SELECT doc_id, perm // {N_MINHASH // N_BANDS} AS band,
+         md5(string_agg(minhash, ',' ORDER BY perm)) AS bucket
+  FROM hashed GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM doc_shingles a JOIN doc_shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(round(CAST(COALESCE(s.shared, 0) AS DOUBLE)
+            / (sa.n + sb.n - COALESCE(s.shared, 0)) * 1e6) AS BIGINT)
+         AS jaccard_micro
+FROM cand c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+LEFT JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+""",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash-LSH near-dup chain: shingle → minhash → band →
+    BUCKET-JOIN → candidate pairs → exact-Jaccard verification.
+
+    Completes minhash_bands: candidate generation is the (band, bucket)
+    self-equijoin (shuffles only 4 band rows per doc — never the O(n²)
+    pair space), and each candidate pair is then verified with the
+    exact shingle Jaccard (computed only for candidates; the verify
+    join is candidate-sized). Scale: band buckets bound the join fanout
+    (docs per bucket), and the verify stage is proportional to true
+    near-dups + LSH false positives, not to corpus size."""
+    bands = minhash_bands(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ds = _doc_shingles(spark, sf_dir)
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    da, db = ds.alias("da"), ds.alias("db")
+    shared = (
+        da.join(db, "shingle")
+        .filter(F.col("da.doc_id") < F.col("db.doc_id"))
+        .groupBy(
+            F.col("da.doc_id").alias("doc_a"), F.col("db.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(shared, ["doc_a", "doc_b"], "left")
+        .withColumn("sh", F.coalesce(F.col("shared"), F.lit(0)))
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("sh").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("sh"))
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("jaccard_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+_COS_THRESHOLD_MICRO = 200_000  # cos >= 0.2
+
+
+@register(
+    "embedding_cosine_near_dups",
+    f"""
+WITH planes AS (
+  SELECT p.p AS plane, d.d AS dim,
+         ({_md5_64_sql("'plane' || p.p || '/' || d.d")} % 2001 - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(range(8)) AS p) p, (SELECT unnest(range(64)) AS d) d
+),
+proj AS (
+  SELECT e.vec_id, pl.plane,
+         sum(CAST(round(x.x * pl.w * 1e9) AS BIGINT)) AS dot_s
+  FROM embeddings e,
+       LATERAL (SELECT unnest(e.embedding) AS x,
+                       generate_subscripts(e.embedding, 1) AS i) x
+  JOIN planes pl ON pl.dim = x.i - 1
+  GROUP BY e.vec_id, pl.plane
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot_s > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+norms AS (
+  SELECT vec_id, sum(CAST(round(x.x * x.x * 1e12) AS BIGINT)) AS nrm_s
+  FROM embeddings, LATERAL (SELECT unnest(embedding) AS x) x
+  GROUP BY vec_id
+),
+dots AS (
+  SELECT p.vec_a, p.vec_b,
+         sum(CAST(round(ax.x * bx.x * 1e12) AS BIGINT)) AS dot_s
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.vec_a
+  JOIN embeddings eb ON eb.vec_id = p.vec_b,
+  LATERAL (SELECT unnest(ea.embedding) AS x,
+                  generate_subscripts(ea.embedding, 1) AS i) ax,
+  LATERAL (SELECT unnest(eb.embedding) AS x,
+                  generate_subscripts(eb.embedding, 1) AS i) bx
+  WHERE ax.i = bx.i
+  GROUP BY p.vec_a, p.vec_b
+),
+cos AS (
+  SELECT d.vec_a, d.vec_b,
+         CAST(round(d.dot_s / sqrt(CAST(na.nrm_s AS DOUBLE) * nb.nrm_s) * 1e6)
+              AS BIGINT) AS cos_micro
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.vec_a
+  JOIN norms nb ON nb.vec_id = d.vec_b
+)
+SELECT vec_a, vec_b, cos_micro FROM cos
+WHERE cos_micro >= {_COS_THRESHOLD_MICRO}
+""",
+)
+def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed: candidate pairs
+    come from the 8-plane random-hyperplane bucket equijoin (same
+    bucketing as ann_lsh_buckets), then each bucket scores its own
+    all-pairs cosine inside ONE applyInPandas task (numpy, Arrow
+    batches) — no pair shuffle, no crossJoin; only (vec, bucket) rows
+    move. Scale: bucket size bounds the quadratic term (more planes →
+    smaller buckets); the scaled-integer rounding matches DuckDB
+    bit-for-bit (see _round_half_away)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    buckets = ann_lsh_buckets(spark, sf_dir)
+    joined = emb.join(buckets, "vec_id")
+
+    def score_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_micro": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_micro": "int64"}
+            )
+        pdf = pdf.sort_values("vec_id")
+        X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        nrm = _round_half_away(X * X * 1e12).astype(np.int64).sum(axis=1)
+        out_a, out_b, out_c = [], [], []
+        for i in range(n - 1):
+            dot = (
+                _round_half_away(X[i + 1 :] * X[i] * 1e12)
+                .astype(np.int64)
+                .sum(axis=1)
+            )
+            cos = _round_half_away(
+                dot / np.sqrt(nrm[i].astype(np.float64) * nrm[i + 1 :]) * 1e6
+            ).astype(np.int64)
+            keep = cos >= _COS_THRESHOLD_MICRO
+            out_a.append(np.full(int(keep.sum()), ids[i]))
+            out_b.append(ids[i + 1 :][keep])
+            out_c.append(cos[keep])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cos_micro": np.concatenate(out_c),
+            }
+        )
+
+    return joined.groupBy("bucket").applyInPandas(
+        score_bucket, "vec_a long, vec_b long, cos_micro long"
+    )

@@ -1,5 +1,6 @@
 import os
 import sys
+import tempfile
 
 import pytest
 
@@ -10,6 +11,10 @@ from pyspark.sql import SparkSession
 
 @pytest.fixture(scope="session")
 def spark():
+    # fresh warehouse per test session: the in-memory catalog forgets
+    # managed tables across JVMs, and saveAsTable refuses to reuse a
+    # leftover table directory it no longer knows about
+    wh = tempfile.mkdtemp(prefix="spark_wh_")
     s = (
         SparkSession.builder.master("local[4]")
         .appName("gocrawler-spark-tests")
@@ -18,6 +23,7 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        .config("spark.sql.warehouse.dir", wh)
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")
