@@ -108,6 +108,57 @@ class CrawlConfig:
         )
 
     @property
+    def stop_token_parts(self) -> tuple[tuple[str, ...], str | None]:
+        """Decomposition of `stop_token_fullmatch` for the vectorized
+        analyzer filter: `(literal_words, residual_regex_or_None)`.
+
+        A 270+-way regex alternation costs O(alternatives) of
+        backtracking per token; the equivalent decomposed predicate is
+        `len<=2 | ^[0-9]+$ | token IN literal_set | residual_regex`,
+        where the literal set becomes a Catalyst InSet (O(1) hash
+        probe) and only the few metachar-bearing alternatives (e.g.
+        the `words*` optional-plural patterns) stay as a small regex.
+        Byte-equivalent to the full regex: tokens are lowercase-only
+        letters/numbers, so `.`/`..` == any 1-2 chars and `(?i)`
+        literal match == lowercase equality. Equivalence is
+        property-tested in tests/test_text_functions.py."""
+        return self._decompose_alternation(
+            self.eng_stopwords_wo_the
+            + "|"
+            + self.eng_low_relevancy_words
+            + "|"
+            + self.special_stopwords
+        )
+
+    @staticmethod
+    def _decompose_alternation(
+        alternation: str,
+    ) -> tuple[tuple[str, ...], str | None]:
+        lits: list[str] = []
+        rest: list[str] = []
+        for w in alternation.split("|"):
+            if not w:
+                continue
+            if re.search(r"[.*+?()\[\]{}^$\\]", w):
+                rest.append(w)
+            else:
+                lits.append(w.lower())
+        residual = r"(?i)^(" + "|".join(rest) + r")$" if rest else None
+        return tuple(dict.fromkeys(lits)), residual
+
+    @property
+    def border_left_parts(self) -> tuple[tuple[str, ...], str | None]:
+        """Decomposed `border_left_lowrel` full-token match (lowercase
+        literal set + residual regex) — same trick as stop_token_parts,
+        for the n-gram border filter (crawler.go:902)."""
+        return self._decompose_alternation(self.border_left_lowrel)
+
+    @property
+    def border_right_parts(self) -> tuple[tuple[str, ...], str | None]:
+        """Decomposed `border_right_stop` full-token match."""
+        return self._decompose_alternation(self.border_right_stop)
+
+    @property
     def regex_stopwords_count(self) -> str:
         """crawler.go:609-619 — stopword occurrence counter (incl "the")."""
         return r"(?i)\W(" + self.eng_stopwords + r")\W"

@@ -36,10 +36,23 @@ def tokens_count(text: Column) -> Column:
 def analyzed_tokens(text: Column, cfg: CrawlConfig) -> Column:
     """analyze (crawler.go:672-687): tokenize → lowercase → drop tokens
     fully matching a stopword alternative (numbers, 1-2 char tokens,
-    stop/low-relevancy/special words — crawler.go:1420)."""
+    stop/low-relevancy/special words — crawler.go:1420).
+
+    The stop filter runs as the DECOMPOSED predicate
+    (cfg.stop_token_parts): length/digit checks + an InSet probe for
+    the literal words + a small residual regex — equivalent to the
+    270+-way `stop_token_fullmatch` alternation but ~5x faster (the
+    alternation costs O(alternatives) backtracking per token)."""
     lowered = F.transform(tokens_of(text), F.lower)
-    stop = cfg.stop_token_fullmatch
-    return F.filter(lowered, lambda t: ~t.rlike(stop))
+    lits, residual = cfg.stop_token_parts
+
+    def is_stop(t):
+        p = (F.length(t) <= 2) | t.rlike("^[0-9]+$") | t.isin(*lits)
+        if residual is not None:
+            p = p | t.rlike(residual)
+        return p
+
+    return F.filter(lowered, lambda t: ~is_stop(t))
 
 
 def paragraphs_of(content: Column) -> Column:

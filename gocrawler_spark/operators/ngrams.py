@@ -66,21 +66,26 @@ def sentences_of(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 
 def dedup_sentences(sents: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """First sentence per top-7-token signature wins (W3 dedup)."""
-    toks = TX.analyzed_tokens(F.col("sentence"), cfg)
-    counted = (
-        sents.withColumn("tok", F.explode_outer(toks))
-        .groupBy("doc_id", "pos", "sentence", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id", "pos", "sentence")
-        .agg(
-            F.collect_list(
-                F.when(
-                    F.col("tok").isNotNull(),
-                    F.struct(F.col("cnt").cast("int").alias("count"), F.col("tok").alias("token")),
-                )
-            ).alias("token_counts")
-        )
+    """First sentence per top-7-token signature wins (W3 dedup).
+
+    Per-sentence token counts are computed LOCALLY with higher-order
+    array functions (O(distinct·len) per short sentence) instead of an
+    explode + double groupBy — the old plan shuffled every (sentence
+    string, token) pair twice just to count within one row. The only
+    remaining shuffle is the signature dedup window itself."""
+    counted = sents.withColumn(
+        "atoks", TX.analyzed_tokens(F.col("sentence"), cfg)
+    ).withColumn(
+        "token_counts",
+        F.transform(
+            F.array_distinct(F.col("atoks")),
+            lambda x: F.struct(
+                F.size(
+                    F.filter(F.col("atoks"), lambda t: t == x)
+                ).cast("int").alias("count"),
+                x.alias("token"),
+            ),
+        ),
     )
     sig = TX.signature_expr(F.col("token_counts"), 7)
     w = Window.partitionBy("signature").orderBy("doc_id", "pos")
@@ -98,24 +103,52 @@ def _gram_tokens(sentence) -> "F.Column":
 
 
 def ngrams_of_sentences(sents: DataFrame, cfg: CrawlConfig, n: int) -> DataFrame:
-    """One row per accepted n-gram occurrence: (gram)."""
+    """One row per accepted n-gram occurrence: (gram).
+
+    Physical shape: the border/ignore predicates are evaluated ONCE PER
+    TOKEN (three boolean arrays per sentence) instead of once per gram
+    — a token participates in up to n overlapping grams, so the naive
+    per-gram form multiplies every regex by n. Border matches use the
+    decomposed literal-InSet + small-residual-regex predicates
+    (cfg.border_*_parts) rather than the 200+-way alternation.
+    Everything stays in one whole-stage-codegen projection."""
+    llits, lres = cfg.border_left_parts
+    rlits, rres = cfg.border_right_parts
+
+    def full_match(t, lits, res):
+        p = F.lower(t).isin(*lits)
+        if res is not None:
+            p = p | t.rlike(res)
+        return p
+
     toks = _gram_tokens(F.col("sentence"))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.slice(toks, i, n),
-        ),
-    ).otherwise(F.array().cast("array<array<string>>"))
-    left_re = r"(?i)^(" + cfg.border_left_lowrel + r")$"
-    right_re = r"(?i)^(" + cfg.border_right_stop + r")$"
-    g = sents.select(F.explode(grams).alias("toks"))
-    ok = (
-        ~F.element_at(F.col("toks"), 1).rlike(left_re)
-        & ~F.element_at(F.col("toks"), -1).rlike(right_re)
-        & ~F.exists(F.col("toks"), lambda t: t.rlike(IGNORE_TOKEN_RE))
+    base = sents.select(
+        toks.alias("toks"),
+    ).select(
+        "toks",
+        F.transform("toks", lambda t: full_match(t, llits, lres)).alias("bl"),
+        F.transform("toks", lambda t: full_match(t, rlits, rres)).alias("br"),
+        F.transform("toks", lambda t: t.rlike(IGNORE_TOKEN_RE)).alias("ig"),
     )
-    return g.filter(ok).select(F.array_join("toks", " ").alias("gram"))
+    entries = F.when(
+        F.size(F.col("toks")) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("toks")) - n + 1),
+            lambda i: F.struct(
+                F.array_join(F.slice(F.col("toks"), i, n), " ").alias("gram"),
+                (
+                    F.element_at(F.col("bl"), i)
+                    | F.element_at(F.col("br"), i + n - 1)
+                    | F.exists(F.slice(F.col("ig"), i, n), lambda x: x)
+                ).alias("bad"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<gram:string,bad:boolean>>"))
+    return (
+        base.select(F.explode(entries).alias("e"))
+        .filter(~F.col("e.bad"))
+        .select(F.col("e.gram").alias("gram"))
+    )
 
 
 def ngram_level(sents: DataFrame, cfg: CrawlConfig, n: int) -> DataFrame:

@@ -122,3 +122,43 @@ def test_paragraph_split_parity(spark):
     df = spark.createDataFrame([Row(t=t)])
     got = df.select(T.paragraphs_of(F.col("t")).alias("p")).first()["p"]
     assert got == pyref.split_paragraphs(t) == ["one", "two", "three", "four"]
+
+
+def test_stop_decomposition_equivalent_to_fullmatch(spark):
+    """The decomposed stop predicate (stop_token_parts: len/digit/InSet/
+    residual regex) must drop exactly the same tokens as the
+    270+-alternative stop_token_fullmatch regex — including the
+    optional-plural `words*` patterns with 0..3 trailing s's and
+    near-miss prefixes."""
+    import re as _re
+
+    from pyspark.sql import Row
+
+    from gocrawler_spark.config import test_profile
+
+    cfg = test_profile()
+    words = (
+        cfg.eng_stopwords_wo_the
+        + "|"
+        + cfg.eng_low_relevancy_words
+        + "|"
+        + cfg.special_stopwords
+    ).split("|")
+    probes = set()
+    for w in words:
+        base = w[:-2] if w.endswith("s*") else w
+        base = _re.sub(r"[.*+?()\[\]{}^$\\]", "", base)
+        if not base:
+            continue
+        probes |= {base, base + "s", base + "ss", base + "sss", base[:-1],
+                   base + "x", "x" + base, base.upper()}
+    probes |= {"a", "ab", "abc", "12", "123", "0", "covid", "the", "thes"}
+    probes = sorted(p for p in probes if p)
+
+    full = _re.compile(cfg.stop_token_fullmatch.replace("(?i)", ""), _re.I)
+    expected = [p.lower() for p in probes if not full.fullmatch(p.lower())]
+
+    text = " ".join(probes)
+    df = spark.createDataFrame([Row(t=text)])
+    got = df.select(T.analyzed_tokens(F.col("t"), cfg).alias("a")).first()["a"]
+    assert got == expected
