@@ -53,6 +53,10 @@ HEADLINE = [
     "ngrams_pruned_2to4",
     "minhash_lsh_pairs",
     "embedding_cosine_near_dups",
+    "audio_metadata_stats",
+    "video_metadata_stats",
+    "audio_features_summary",
+    "video_frame_sample_motion",
 ]
 
 # synthetic frontier size for the throughput job (local scale; the
