@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the properties that make these
+queries viable at 100 TB must not silently regress — filters reach the
+parquet scan, scans read only the projected columns, small dimensions
+broadcast instead of shuffling the fact table."""
+
+import re
+
+import pytest
+
+from gocrawler_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name):
+    return (
+        QUERIES[name](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def _pushed(plan):
+    return [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p]
+
+
+def _read_schemas(plan):
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def test_tpch_q1_filter_pushdown(spark):
+    plan = _plan(spark, "tpch_q1_pricing")
+    assert any("l_shipdate" in p for p in _pushed(plan)), plan
+
+
+def test_tpch_q3_broadcasts_dims_and_prunes(spark):
+    plan = _plan(spark, "tpch_q3_toporders")
+    assert any("c_mktsegment" in p and "BUILDING" in p for p in _pushed(plan))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # every scan reads a handful of columns, never the full table
+    for s in _read_schemas(plan):
+        assert len(s.split(",")) <= 4, s
+
+
+def test_tpch_q5_broadcasts_dims(spark):
+    plan = _plan(spark, "tpch_q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_freq_pushdown_and_pruning(spark):
+    plan = _plan(spark, "corpus_freq_top100")
+    assert any("lang" in p and "en" in p for p in _pushed(plan)), plan
+    # reads only (lang, text) — never url/doc_id/etc.
+    schemas = _read_schemas(plan)
+    assert schemas and all(len(s.split(",")) <= 2 for s in schemas), schemas
+
+
+def test_topk_becomes_take_ordered(spark):
+    """sort+limit must plan as TakeOrderedAndProject, not a global
+    sort."""
+    plan = _plan(spark, "corpus_freq_top100")
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("name", ["events_hourly", "frontier_priority_topk"])
+def test_narrow_scans(spark, name):
+    plan = _plan(spark, name)
+    for s in _read_schemas(plan):
+        assert len(s.split(",")) <= 4, (name, s)
