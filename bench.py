@@ -53,6 +53,7 @@ HEADLINE = [
     "ngrams_pruned_2to4",
     "minhash_lsh_pairs",
     "embedding_cosine_near_dups",
+    "ann_ivf_topk",
     "audio_metadata_stats",
     "video_metadata_stats",
     "audio_features_summary",

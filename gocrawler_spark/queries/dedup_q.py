@@ -654,3 +654,208 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("bucket").applyInPandas(
         score_bucket, "vec_a long, vec_b long, cos_micro long"
     )
+
+
+# ---------------------------------------------------------------------------
+_IVF_K = 16  # coarse cells
+_IVF_NPROBE = 4
+
+
+def _ivf_centroids():
+    """K x 64 deterministic centroid matrix, md5-derived rationals —
+    identical arithmetic in the SQL oracle."""
+    import hashlib
+
+    import numpy as np
+
+    C = np.empty((_IVF_K, 64), dtype=np.float64)
+    for c in range(_IVF_K):
+        for d in range(64):
+            h = int(hashlib.md5(f"cent{c}/{d}".encode()).hexdigest()[:15], 16)
+            C[c, d] = (h % 2001 - 1000) / 1000.0
+    return C
+
+
+_IVF_CENTS_SQL = f"""
+cents AS (
+  SELECT c.c AS cell, d.d AS dim,
+         ({_md5_64_sql("'cent' || c.c || '/' || d.d")} % 2001 - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(range({_IVF_K})) AS c) c,
+       (SELECT unnest(range(64)) AS d) d
+),
+cellscore AS (
+  SELECT e.vec_id, ct.cell,
+         sum(CAST(round(x.x * ct.w * 1e9) AS BIGINT)) AS dot_s
+  FROM embeddings e,
+       LATERAL (SELECT unnest(e.embedding) AS x,
+                       generate_subscripts(e.embedding, 1) AS i) x
+  JOIN cents ct ON ct.dim = x.i - 1
+  GROUP BY e.vec_id, ct.cell
+)
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+WITH {_IVF_CENTS_SQL},
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot_s DESC, cell ASC) AS r
+    FROM cellscore
+  ) WHERE r = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot_s DESC, cell ASC) AS r
+    FROM cellscore WHERE vec_id < 10
+  ) WHERE r <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id
+  FROM qprobe q JOIN assign a ON a.cell = q.cell
+  WHERE a.vec_id <> q.query_id
+),
+norms AS (
+  SELECT vec_id, sum(CAST(round(x.x * x.x * 1e12) AS BIGINT)) AS nrm_s
+  FROM embeddings, LATERAL (SELECT unnest(embedding) AS x) x
+  GROUP BY vec_id
+),
+dots AS (
+  SELECT p.query_id, p.neighbor_id,
+         sum(CAST(round(ax.x * bx.x * 1e12) AS BIGINT)) AS dot_s
+  FROM cand p
+  JOIN embeddings ea ON ea.vec_id = p.query_id
+  JOIN embeddings eb ON eb.vec_id = p.neighbor_id,
+  LATERAL (SELECT unnest(ea.embedding) AS x,
+                  generate_subscripts(ea.embedding, 1) AS i) ax,
+  LATERAL (SELECT unnest(eb.embedding) AS x,
+                  generate_subscripts(eb.embedding, 1) AS i) bx
+  WHERE ax.i = bx.i
+  GROUP BY p.query_id, p.neighbor_id
+),
+cos AS (
+  SELECT d.query_id, d.neighbor_id,
+         CAST(round(d.dot_s / sqrt(CAST(na.nrm_s AS DOUBLE) * nb.nrm_s) * 1e6)
+              AS BIGINT) AS cos_micro
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_micro DESC, neighbor_id ASC) AS rnk
+  FROM cos
+)
+SELECT query_id, neighbor_id, cos_micro, rnk FROM ranked WHERE rnk <= 5
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the coarse-quantizer scale path. Corpus vectors
+    are assigned to their nearest of K=16 md5-derived centroids
+    (inverted lists); each query probes its nprobe=4 best cells and
+    runs the exact scorer only inside those cells.
+
+    Physical plan: centroid assignment is one numpy matmul-shaped
+    mapInPandas pass (no per-(vec,centroid) shuffle); the probe is a
+    broadcast of the 10-query cell lists + per-cell candidate semi-join;
+    exact scoring reuses the in-batch partial-top-k shape of
+    embedding_knn. At 1e10 vectors the inverted lists are the bucketed
+    table and only probed cells are scanned (partition pruning)."""
+    import numpy as np
+    import pandas as pd
+
+    C = _ivf_centroids()
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def cell_scores(X):
+        # (n, K) scaled-int dot scores, identical rounding to SQL
+        return np.stack(
+            [
+                _round_half_away(X * C[c] * 1e9).astype(np.int64).sum(axis=1)
+                for c in range(_IVF_K)
+            ],
+            axis=1,
+        )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            s = cell_scores(X)
+            # argmax with ties to the LOWEST cell id: reverse argmax trick
+            best = (s.shape[1] - 1) - np.argmax(s[:, ::-1], axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64), "cell": best}
+            )
+
+    assigned = emb.mapInPandas(assign, "vec_id long, cell int")
+
+    # driver-side probe lists for the 10 queries (tiny)
+    qrows = emb.filter(F.col("vec_id") < 10).collect()
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qs = cell_scores(Q)
+    order = np.lexsort((np.arange(_IVF_K)[None, :].repeat(len(q_ids), 0), -qs))
+    probe_rows = [
+        (int(q_ids[i]), int(order[i, j]))
+        for i in range(len(q_ids))
+        for j in range(_IVF_NPROBE)
+    ]
+    qprobe = spark.createDataFrame(probe_rows, "query_id long, cell int")
+
+    cand_ids = (
+        assigned.join(F.broadcast(qprobe), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    cand = cand_ids.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    )
+
+    qn = _round_half_away(Q * Q * 1e12).astype(np.int64).sum(axis=1)
+    qmap = {int(q_ids[j]): j for j in range(len(q_ids))}
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for qid, grp in pdf.groupby("query_id"):
+                j = qmap[int(qid)]
+                Cm = np.array(grp["embedding"].tolist(), dtype=np.float64)
+                cn = _round_half_away(Cm * Cm * 1e12).astype(np.int64).sum(axis=1)
+                dot = _round_half_away(Cm * Q[j] * 1e12).astype(np.int64).sum(axis=1)
+                cos = _round_half_away(
+                    dot / np.sqrt(qn[j].astype(np.float64) * cn) * 1e6
+                ).astype(np.int64)
+                d = pd.DataFrame(
+                    {
+                        "query_id": int(qid),
+                        "neighbor_id": grp["neighbor_id"].to_numpy(dtype=np.int64),
+                        "cos_micro": cos,
+                    }
+                ).sort_values(
+                    ["cos_micro", "neighbor_id"], ascending=[False, True]
+                ).head(5)
+                out.append(d)
+            yield pd.concat(out, ignore_index=True)
+
+    partials = cand.mapInPandas(score, "query_id long, neighbor_id long, cos_micro long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_micro"), F.asc("neighbor_id")
+    )
+    return (
+        partials.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "cos_micro", "rnk")
+    )
