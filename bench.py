@@ -54,6 +54,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "embedding_cosine_near_dups",
     "ann_ivf_topk",
+    "image_resize_summary",
     "audio_metadata_stats",
     "video_metadata_stats",
     "audio_features_summary",

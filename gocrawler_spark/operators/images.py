@@ -194,3 +194,46 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 3, n_bands: int = 4) -
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs.select("a_id", "b_id", "hamming")
+
+
+def resize_images(
+    images: DataFrame, target_w: int, target_h: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic nearest-neighbor resize of every payload to
+    (target_w, target_h): decode → index-sample → re-encode PNG.
+
+    Same multimodal rules as decode/validate: Arrow-batched
+    mapInPandas, one payload in flight per row, no payload bytes cross
+    a shuffle (resize is a map — partitioning is preserved). The output
+    table keeps the input_hint shape with fmt='png' (resize of a lossy
+    payload re-encodes losslessly from the decoded pixels) and a
+    recomputed phash. Nearest-neighbor keeps the op bit-deterministic
+    across platforms (no float filtering)."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = SI.decode_image(bytes(r.bytes), r.fmt)
+                h, w, _ = px.shape
+                yi = (np.arange(target_h) * h) // target_h
+                xi = (np.arange(target_w) * w) // target_w
+                out = px[yi][:, xi]
+                data = SI.encode_png(out)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": data,
+                        "w": target_w,
+                        "h": target_h,
+                        "fmt": "png",
+                        "caption": r.caption,
+                        "phash": SI.ahash64(out),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+            )
+
+    return images.mapInPandas(rs, IMAGE_SCHEMA)

@@ -149,3 +149,39 @@ def image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, verified in tests."""
     imgs = images_from_documents(spark, sf_dir)
     return IM.phash_near_dups(imgs, max_hamming=3).orderBy("a_id", "b_id")
+
+
+@register("image_resize_summary")  # binary decode+resize — rows-only check
+def image_resize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor resize to 24x24 → re-encode → verify
+    round-trip decodability, aggregated: every output must have the
+    target dims and its re-encoded PNG must decode back bit-equal."""
+    import numpy as np
+
+    resized = IM.resize_images(images_from_documents(spark, sf_dir), 24, 24)
+
+    def check(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = SI.decode_image(bytes(r.bytes), r.fmt)
+                rows.append(
+                    (
+                        r.image_id,
+                        px.shape == (24, 24, 3),
+                        SI.ahash64(px) == r.phash,
+                        int(px.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "dims_ok", "phash_ok", "pixel_sum"]
+            )
+
+    checked = resized.mapInPandas(
+        check, "image_id string, dims_ok boolean, phash_ok boolean, pixel_sum long"
+    )
+    return (
+        checked.groupBy("dims_ok", "phash_ok")
+        .agg(F.count("*").alias("n"), F.sum("pixel_sum").alias("sum_pixels"))
+        .orderBy("dims_ok", "phash_ok")
+    )

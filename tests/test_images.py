@@ -136,3 +136,27 @@ def test_metadata_scan_prunes_payload(image_table, tmp_path):
     )
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "bytes" not in plan
+
+
+def test_resize_images_deterministic_round_trip(spark):
+    from gocrawler_spark.operators import images as IM
+    from gocrawler_spark.queries.image_q import images_from_documents
+    from gocrawler_spark.sources import synthetic_images as SI
+    import numpy as np
+    from tests.conftest import SF_DIR
+
+    resized = IM.resize_images(
+        images_from_documents(spark, SF_DIR), 24, 24
+    ).collect()
+    assert resized
+    for r in resized[:10]:
+        px = SI.decode_image(bytes(r["bytes"]), r["fmt"])
+        assert px.shape == (24, 24, 3)
+        assert r["w"] == 24 and r["h"] == 24 and r["fmt"] == "png"
+        assert SI.ahash64(px) == r["phash"]
+    again = IM.resize_images(
+        images_from_documents(spark, SF_DIR), 24, 24
+    ).collect()
+    assert sorted(r["phash"] for r in again) == sorted(
+        r["phash"] for r in resized
+    )
