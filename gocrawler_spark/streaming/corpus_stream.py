@@ -134,3 +134,55 @@ def merge_stream_into_corpus(
         .trigger(availableNow=True)
         .start()
     )
+
+
+DOMAIN_QUOTA_OUTPUT = T.StructType(
+    [
+        T.StructField("domain", T.StringType(), True),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("signature", T.StringType(), True),
+    ]
+)
+
+DOMAIN_QUOTA_STATE = T.StructType([T.StructField("used", T.LongType(), True)])
+
+
+def domain_quota_stream(docs: DataFrame, quota: int) -> DataFrame:
+    """CUSTOM STATEFUL operator (applyInPandasWithState): per-domain
+    accept quota enforced ACROSS micro-batches.
+
+    The reference's per-domain damping is selection-time arithmetic
+    (crawler.go:405); its streaming analog needs keyed state no
+    built-in can express: each domain may contribute at most `quota`
+    accepted docs over the stream's lifetime, where "how many so far"
+    lives in the state store and must survive checkpoints/restarts.
+    State per key is ONE long (bounded, no watermark needed); rows
+    within a batch are admitted in deterministic (url) order.
+    """
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        (used,) = state.get if state.exists else (0,)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("url")
+            room = max(0, quota - used)
+            take = pdf.head(room)
+            used += len(pdf)
+            if len(take):
+                out.append(take[["domain", "url", "signature"]])
+        state.update((used,))
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    with_domain = docs.withColumn(
+        "domain",
+        F.regexp_replace(F.expr("parse_url(url, 'HOST')"), r"^www\.", ""),
+    )
+    return with_domain.groupBy("domain").applyInPandasWithState(
+        fn,
+        outputStructType=DOMAIN_QUOTA_OUTPUT,
+        stateStructType=DOMAIN_QUOTA_STATE,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -106,3 +106,55 @@ def test_windowed_doc_rate(spark, tmp_path):
     }
     # 30s spacing: minute-0 window holds t=0,30s; minute-1 holds 60,90s
     assert rows == {0: (2, 4), 1: (2, 4)}
+
+
+def test_domain_quota_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-domain quota must count across
+    micro-batches through the checkpointed state store — batch 2's
+    admissions depend on batch 1's state."""
+    inp, ckpt, outp = (str(tmp_path / d) for d in ("qin", "qck", "qout"))
+    os.makedirs(inp, exist_ok=True)
+
+    def run_available_now():
+        stream = CS.accepted_docs_stream(spark, inp)
+        gated = CS.domain_quota_stream(stream, quota=3)
+        q = (
+            gated.writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: domain a.example has 2 docs, b.example has 1
+    _write_docs(
+        spark,
+        inp,
+        [
+            (f"https://a.example/p{i}", "t", f"s{i}", T0)
+            for i in range(2)
+        ]
+        + [("https://b.example/p0", "t", "sb0", T0)],
+    )
+    run_available_now()
+    # batch 2: 3 more docs per domain -> a admits only 1 more (2+1=3),
+    # b admits 2 more
+    _write_docs(
+        spark,
+        inp,
+        [
+            (f"https://a.example/q{i}", "t", f"sq{i}", T0)
+            for i in range(3)
+        ]
+        + [(f"https://b.example/q{i}", "t", f"sbq{i}", T0) for i in range(3)],
+    )
+    run_available_now()
+
+    out = spark.read.parquet(outp)
+    by_domain = {
+        r["domain"]: r["n"]
+        for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_domain == {"a.example": 3, "b.example": 3}
