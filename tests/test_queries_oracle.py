@@ -21,9 +21,13 @@ def test_all_queries_have_oracles_or_are_documented():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops may omit the oracle; keep the list explicit
     allowed_missing = {
-        # binary image decode / perceptual hashing — not SQL-expressible;
-        # covered by tests/test_images.py + driver rows-only check
+        # binary payload decode / perceptual hashing / feature extraction
+        # — not SQL-expressible; covered by round-trip unit tests
+        # (tests/test_images.py, tests/test_media.py) + driver rows-only
         "image_validate_summary",
         "image_phash_near_dups",
+        "image_resize_summary",
+        "audio_features_summary",
+        "video_frame_sample_motion",
     }
     assert missing == allowed_missing
