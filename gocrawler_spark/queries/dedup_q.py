@@ -229,7 +229,7 @@ bits AS (
   GROUP BY doc_id, b.i
 )
 SELECT doc_id,
-       sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """,
 )
@@ -400,7 +400,7 @@ proj AS (
   GROUP BY e.vec_id, pl.plane
 )
 SELECT vec_id,
-       sum(CASE WHEN dot_s > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS bucket
+       CAST(sum(CASE WHEN dot_s > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT) AS bucket
 FROM proj GROUP BY vec_id
 """,
 )

@@ -76,9 +76,9 @@ def images_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT fmt,
            COUNT(*) AS n_images,
-           SUM(w) AS sum_w,
-           SUM(h) AS sum_h,
-           SUM(LENGTH(caption)) AS sum_caption_len
+           CAST(SUM(w) AS BIGINT) AS sum_w,
+           CAST(SUM(h) AS BIGINT) AS sum_h,
+           CAST(SUM(LENGTH(caption)) AS BIGINT) AS sum_caption_len
     FROM (
       SELECT CASE WHEN doc_id % 3 = 0 THEN 'qjpg' ELSE 'png' END AS fmt,
              CASE WHEN doc_id % 5 = 1 AND doc_id > 0

@@ -108,9 +108,9 @@ def video_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 SELECT fmt,
        COUNT(*) AS n_audio,
-       SUM(sample_rate) AS sum_sr,
-       SUM(n_samples) AS sum_samples,
-       SUM(LENGTH(caption)) AS sum_caption_len
+       CAST(SUM(sample_rate) AS BIGINT) AS sum_sr,
+       CAST(SUM(n_samples) AS BIGINT) AS sum_samples,
+       CAST(SUM(LENGTH(caption)) AS BIGINT) AS sum_caption_len
 FROM (
   SELECT CASE WHEN doc_id % 7 = 0 AND doc_id > 0 THEN 'mp3' ELSE 'wav' END AS fmt,
          8000 + (doc_id % 3) * 4000 AS sample_rate,
@@ -141,9 +141,9 @@ def audio_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 SELECT fmt,
        COUNT(*) AS n_video,
-       SUM(w * h) AS sum_pixels,
-       SUM(n_frames) AS sum_frames,
-       SUM(fps) AS sum_fps
+       CAST(SUM(w * h) AS BIGINT) AS sum_pixels,
+       CAST(SUM(n_frames) AS BIGINT) AS sum_frames,
+       CAST(SUM(fps) AS BIGINT) AS sum_fps
 FROM (
   SELECT CASE WHEN doc_id % 11 = 0 AND doc_id > 0 THEN 'h264' ELSE 'rawv' END AS fmt,
          16 + doc_id % 17 AS w,

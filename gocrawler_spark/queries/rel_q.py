@@ -25,10 +25,10 @@ def _cents(col) -> F.Column:
     "tpch_q1_pricing",
     """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-         AS sum_disc_c,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         AS BIGINT) AS sum_disc_c,
        count(*) AS n
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
@@ -59,8 +59,8 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH rev AS (
   SELECT l_orderkey,
-         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-           AS revenue_c
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS BIGINT) AS revenue_c
   FROM lineitem GROUP BY l_orderkey
 )
 SELECT o.o_orderkey, c.c_mktsegment, rev.revenue_c
@@ -100,8 +100,8 @@ def tpch_q3_toporders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_region_revenue",
     """
 SELECT r.r_name, n.n_name,
-       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
-         AS revenue_c
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+         AS BIGINT) AS revenue_c
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -139,7 +139,7 @@ def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
        event_type,
        count(*) AS n,
-       sum(CAST(round(value * 1e6) AS BIGINT)) AS value_sum_micro
+       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_sum_micro
 FROM events
 GROUP BY 1, 2
 """,
@@ -231,7 +231,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_top_purchasers",
     """
 SELECT user_id, count(*) AS n_purchases,
-       sum(CAST(round(value * 1e6) AS BIGINT)) AS spend_micro
+       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS spend_micro
 FROM events WHERE event_type = 'purchase'
 GROUP BY user_id
 ORDER BY n_purchases DESC, user_id ASC

@@ -128,8 +128,8 @@ WITH toks AS (
         FROM documents)
 )
 SELECT doc_id,
-       sum(i * (CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % {FP_PRIME}))
-         % {FP_MOD} AS fingerprint
+       CAST(sum(i * (CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % {FP_PRIME}))
+         % {FP_MOD} AS BIGINT) AS fingerprint
 FROM toks GROUP BY doc_id
 """,
 )
