@@ -164,6 +164,7 @@ def merge_into_frontier(
     bloom: DataFrame | None = None,
     n_shards: int = 64,
     pin=None,
+    broadcast_max_rows: int = 200_000,
 ) -> DataFrame:
     """F5/A4 cross-wave merge: existing URLs get count += delta; new
     URLs are appended with insertion seq = max_seq + rank by
@@ -192,13 +193,25 @@ def merge_into_frontier(
     max_seq = frontier.agg(F.max("seq")).first()[0]
     base = (max_seq if max_seq is not None else -1) + 1
 
+    if pin is None:
+        pin = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+
     if bloom is not None:
         from gocrawler_spark.operators import bloom as B
 
         probably_seen, definitely_new = B.split_candidates(
             bloom, cand, n_shards=n_shards
         )
-        probe = F.broadcast(probably_seen)
+        # probably_seen is consumed twice (count-update probe + FP anti-join)
+        # — pin it so the bloom probe runs once, then broadcast only while
+        # it is actually small: true dups + FPR·new is wave-bounded in the
+        # normal case, but a dup-heavy wave can exceed the broadcast limit,
+        # so fall through to the join planner (AQE) above the threshold.
+        probably_seen = pin(probably_seen)
+        if probably_seen.count() <= broadcast_max_rows:
+            probe = F.broadcast(probably_seen)
+        else:
+            probe = probably_seen
     else:
         probably_seen, definitely_new = cand, None
         probe = probably_seen
@@ -219,8 +232,6 @@ def merge_into_frontier(
     new_src = (
         fp_new if definitely_new is None else definitely_new.unionByName(fp_new)
     )
-    if pin is None:
-        pin = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
     new_src = pin(new_src.select("url", "domain", "delta", "first_at"))
     new = _assign_seq(new_src, base).select(
         "url",

@@ -173,7 +173,16 @@ def ngrams_all_levels(
     """
     sents = dedup_sentences(sentences_of(docs, text_col, id_col), cfg)
     sents = sents.cache()
-    levels = {n: ngram_level(sents, cfg, n).cache() for n in range(2, n_max + 1)}
+    # Each level is <=101 rows (freq>=3, rank<=101): materialize the slices
+    # once, then drop the sentence cache. The pruning joins below run over
+    # local relations, so repeated invocations in a long-lived session leave
+    # no cached blocks behind (same leak class PinSet fixes for the engine).
+    spark = docs.sparkSession
+    levels = {}
+    for n in range(2, n_max + 1):
+        lvl = ngram_level(sents, cfg, n)
+        levels[n] = spark.createDataFrame(lvl.collect(), lvl.schema)
+    sents.unpersist()
     kept = []
     for n in range(n_max, 1, -1):
         df = levels[n]

@@ -520,6 +520,19 @@ class CrawlEngine:
                 "images", "bloom", "robots",
             ):
                 setattr(st, name, eng._pin(df))
+        if eng.use_bloom and "bloom" not in tables:
+            # Snapshot was written without bloom: the bootstrap-built filter
+            # only covers the seed URLs, violating the no-false-negative
+            # invariant (frontier ⊆ bloom keys) against the restored
+            # frontier. Rebuild the filter from the frontier's URLs.
+            st.bloom = eng._pin(
+                BL.build(
+                    st.frontier.select("url"),
+                    n_shards=eng.bloom_shards,
+                    expected_keys_per_shard=200_000,
+                    fpr=cfg.bloom_fpr,
+                )
+            )
         st.wave = wave
         return eng
 

@@ -26,6 +26,12 @@ from gocrawler_spark.functions import text as TX
 N_MINHASH = 16
 N_BANDS = 4  # rows per band = 4
 SHINGLE_N = 3
+# Shingles appearing in more than this many documents are dropped before the
+# shared-shingle self-join: boilerplate shingles ("all rights reserved ...")
+# otherwise create a quadratic hot key at scale. Pairs whose overlap consists
+# only of such boilerplate are exactly the pairs near-dup detection should
+# ignore; genuinely similar pairs share plenty of sub-cap shingles.
+JACCARD_DF_CAP = 100
 
 
 def _md5_64_sql(expr: str) -> str:
@@ -105,12 +111,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     f"""
 WITH {_SHINGLES_CTE},
+kept AS (
+  SELECT doc_id, shingle FROM doc_shingles
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= {JACCARD_DF_CAP}
+),
 sizes AS (
-  SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id
+  SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-  FROM doc_shingles a JOIN doc_shingles b USING (shingle)
+  FROM kept a JOIN kept b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
@@ -125,15 +135,23 @@ WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.03
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard near-dup pairs via the shared-shingle equijoin.
-    Scale: the join shuffles on the shingle; hot shingles are bounded
-    because shingles of stop-filtered trigrams are near-unique — for
-    100 TB the standard fix is dropping shingles with document
-    frequency above a cap before the self-join (frequency cap =
-    skew control), then AQE skew-split handles the rest."""
+    Scale: the join shuffles on the shingle; skew control is the
+    document-frequency cap — shingles seen in more than JACCARD_DF_CAP
+    docs are dropped before the self-join (a per-shingle count, one
+    partial-agg shuffle), so no shingle key can fan out more than
+    cap^2 pairs; AQE skew-split handles the remainder. Jaccard is
+    computed over the capped shingle sets on both engine and oracle."""
     ds = _doc_shingles(spark, sf_dir)
-    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = ds.alias("a")
-    b = ds.alias("b")
+    rare = (
+        ds.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= JACCARD_DF_CAP)
+        .select("shingle")
+    )
+    kept = ds.join(rare, "shingle")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = kept.alias("a")
+    b = kept.alias("b")
     pairs = (
         a.join(b, "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -789,8 +807,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             s = cell_scores(X)
-            # argmax with ties to the LOWEST cell id: reverse argmax trick
-            best = (s.shape[1] - 1) - np.argmax(s[:, ::-1], axis=1)
+            # np.argmax natively ties to the lowest index, matching the
+            # oracle's row_number(ORDER BY dot_s DESC, cell ASC) pick.
+            best = np.argmax(s, axis=1)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64), "cell": best}
             )

@@ -117,7 +117,7 @@ def image_validate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = images_from_documents(spark, sf_dir).filter(
         ~((F.col("image_id").cast("long") % 5 == 1) & (F.col("image_id").cast("long") > 0))
     )
-    v = IM.validate_images(imgs).cache()
+    v = IM.validate_images(imgs)
     cap_ref = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < N_DOCS)
@@ -126,20 +126,28 @@ def image_validate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("text", 1, 64).alias("cap_expected"),
         )
     )
-    cap_ok = (
+    # cross-table caption check folded into the same job: broadcast-join the
+    # expected captions onto the per-row validation output and aggregate once.
+    cap_flags = (
         imgs.select("image_id", "caption")
-        .join(cap_ref, "image_id")
-        .filter(F.col("caption") == F.col("cap_expected"))
-        .count()
+        .join(F.broadcast(cap_ref), "image_id", "left")
+        .select(
+            "image_id",
+            (F.col("caption") == F.col("cap_expected")).cast("long").alias("cap_ok"),
+        )
     )
-    return v.agg(
-        F.count("*").alias("n_images"),
-        F.sum(F.col("decode_ok").cast("long")).alias("n_decode_ok"),
-        F.sum(F.col("dims_ok").cast("long")).alias("n_dims_ok"),
-        F.sum(F.col("pixels_ok").cast("long")).alias("n_pixels_ok"),
-        F.sum(F.col("phash_ok").cast("long")).alias("n_phash_ok"),
-        F.min(F.floor(F.col("psnr_db") * 1e3)).alias("min_lossy_psnr_milli"),
-    ).withColumn("n_caption_ok", F.lit(cap_ok).cast("long"))
+    return (
+        v.join(cap_flags, "image_id", "left")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.col("decode_ok").cast("long")).alias("n_decode_ok"),
+            F.sum(F.col("dims_ok").cast("long")).alias("n_dims_ok"),
+            F.sum(F.col("pixels_ok").cast("long")).alias("n_pixels_ok"),
+            F.sum(F.col("phash_ok").cast("long")).alias("n_phash_ok"),
+            F.min(F.floor(F.col("psnr_db") * 1e3)).alias("min_lossy_psnr_milli"),
+            F.sum(F.coalesce(F.col("cap_ok"), F.lit(0))).alias("n_caption_ok"),
+        )
+    )
 
 
 @register("image_phash_near_dups")  # phash is Python-side — rows-only check

@@ -37,7 +37,9 @@ cross-batch state accumulation + checkpoint restart equivalence.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -98,38 +100,78 @@ def windowed_doc_rate(docs: DataFrame, watermark: str = "5 minutes") -> DataFram
     )
 
 
+_STATE_MANIFEST = "_state_manifest.json"
+
+
+def _read_state_manifest(state_path: str) -> dict | None:
+    p = os.path.join(state_path, _STATE_MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def read_corpus_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Last committed corpus_freq state, or None before the first batch."""
+    man = _read_state_manifest(state_path)
+    if man is None:
+        return None
+    return spark.read.parquet(man["dir"])
+
+
+def corpus_upsert(cfg: CrawlConfig, state_path: str):
+    """The foreachBatch body for merge_stream_into_corpus (exposed for
+    direct replay testing).
+
+    Executor-side merge, no driver collect: each batch's token deltas
+    are merged with the committed state and written to a NEW versioned
+    directory; a manifest os.replace is the commit point (the TableStore
+    pattern, plans/store.py). At 100 TB state this is the same
+    write-new-version-then-swap-pointer shape as an Iceberg MERGE.
+
+    Idempotent under foreachBatch's at-least-once contract: the manifest
+    records the last applied batch_id, and a replayed batch (crash after
+    commit, before the streaming checkpoint advanced) is skipped instead
+    of double-counted.
+    """
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        man = _read_state_manifest(state_path)
+        if man is not None and batch_id <= man["batch_id"]:
+            return  # replayed batch: its deltas are already in the state
+        delta = (
+            batch.select(F.explode(TX.analyzed_tokens(F.col("curated"), cfg)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+        if man is not None:
+            merged = CO.merge_freq(spark.read.parquet(man["dir"]), delta)
+        else:
+            merged = delta
+        new_dir = os.path.join(state_path, f"v{batch_id:09d}")
+        merged.write.mode("overwrite").parquet(new_dir)
+        tmp = os.path.join(state_path, "." + _STATE_MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "dir": new_dir}, f)
+        os.replace(tmp, os.path.join(state_path, _STATE_MANIFEST))  # commit
+        if man is not None:
+            shutil.rmtree(man["dir"], ignore_errors=True)
+
+    return upsert
+
+
 def merge_stream_into_corpus(
     docs: DataFrame,
     cfg: CrawlConfig,
     state_path: str,
     checkpoint_dir: str,
 ):
-    """foreachBatch: per-batch token deltas MERGEd into a parquet
-    corpus_freq state table (read-modify-write per batch; at scale the
-    state table is an Iceberg MERGE target). Returns the query."""
-
-    def upsert(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        delta = (
-            batch.select(F.explode(TX.analyzed_tokens(F.col("curated"), cfg)).alias("token"))
-            .groupBy("token")
-            .agg(F.count(F.lit(1)).alias("count"))
-        )
-        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
-            state = spark.read.parquet(state_path)
-            merged = CO.merge_freq(state, delta)
-        else:
-            merged = delta
-        # collect to driver-side rows then rewrite: safe at corpus-vocab
-        # scale (bounded by vocabulary, not corpus size); an Iceberg
-        # MERGE INTO replaces this at 100 TB
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(state_path)
-
+    """foreachBatch: per-batch token deltas MERGEd into a versioned
+    parquet corpus_freq state table (see corpus_upsert). Returns the
+    query; read results with read_corpus_state."""
     return (
-        docs.writeStream.foreachBatch(upsert)
+        docs.writeStream.foreachBatch(corpus_upsert(cfg, state_path))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

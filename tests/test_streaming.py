@@ -45,7 +45,7 @@ def test_corpus_freq_accumulates_across_batches(spark, tmp_path):
         CS.accepted_docs_stream(spark, inp), CFG, state, ckpt
     )
     q.awaitTermination()
-    got = {r["token"]: r["count"] for r in spark.read.parquet(state).collect()}
+    got = {r["token"]: r["count"] for r in CS.read_corpus_state(spark, state).collect()}
     assert got == {"quark": 2, "lepton": 2, "boson": 1}
 
     # batch 2 arrives later; restart from the SAME checkpoint
@@ -54,7 +54,7 @@ def test_corpus_freq_accumulates_across_batches(spark, tmp_path):
         CS.accepted_docs_stream(spark, inp), CFG, state, ckpt
     )
     q2.awaitTermination()
-    got2 = {r["token"]: r["count"] for r in spark.read.parquet(state).collect()}
+    got2 = {r["token"]: r["count"] for r in CS.read_corpus_state(spark, state).collect()}
     assert got2 == {"quark": 2, "lepton": 2, "boson": 3, "gluon": 1}
 
     # restart with nothing new: exactly-once (no double count)
@@ -62,8 +62,28 @@ def test_corpus_freq_accumulates_across_batches(spark, tmp_path):
         CS.accepted_docs_stream(spark, inp), CFG, state, ckpt
     )
     q3.awaitTermination()
-    got3 = {r["token"]: r["count"] for r in spark.read.parquet(state).collect()}
+    got3 = {r["token"]: r["count"] for r in CS.read_corpus_state(spark, state).collect()}
     assert got3 == got2
+
+
+def test_corpus_upsert_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash after the state commit but
+    before the streaming checkpoint advances replays the same batch_id.
+    The replay must be a no-op, not a double count."""
+    state = str(tmp_path / "state_r")
+    upsert = CS.corpus_upsert(CFG, state)
+    batch = spark.createDataFrame(_rows([("quark lepton quark", "s1")], 0),
+                                  CS.ACCEPTED_SCHEMA)
+    upsert(batch, 0)
+    first = {r["token"]: r["count"]
+             for r in CS.read_corpus_state(spark, state).collect()}
+    upsert(batch, 0)  # replay of an already-applied batch
+    assert {r["token"]: r["count"]
+            for r in CS.read_corpus_state(spark, state).collect()} == first
+    upsert(batch, 1)  # a genuinely new batch still merges
+    assert {r["token"]: r["count"]
+            for r in CS.read_corpus_state(spark, state).collect()} == {
+        "quark": 4, "lepton": 2}
 
 
 def test_streaming_signature_dedup(spark, tmp_path):
