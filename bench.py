@@ -59,6 +59,7 @@ HEADLINE = [
     "video_metadata_stats",
     "audio_features_summary",
     "video_frame_sample_motion",
+    "html_extract_stats",
 ]
 
 # synthetic frontier size for the throughput job (local scale; the

@@ -82,6 +82,28 @@ def pandas_fetcher(fetch_fn) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.D
     return fn
 
 
+def pandas_html_fetcher(html_fetch_fn) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """S2 with real markup: wrap a raw-page fetch (url -> (html, ok))
+    and derive (plain_text, links) from the body IN the same Arrow
+    batch via functions/html.py — the downloadUrl product pair
+    (crawler.go:219,235) as one vectorized stage."""
+    from gocrawler_spark.functions import html as HT
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"url": [], "content": [], "links": [], "ok": []}
+            for u in pdf["url"]:
+                raw, ok = html_fetch_fn(u)
+                c, l = HT.parse_page(raw) if ok else ("", [])
+                out["url"].append(u)
+                out["content"].append(c)
+                out["links"].append(l)
+                out["ok"].append(ok)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
 @dataclass
 class CrawlState:
     frontier: DataFrame
@@ -105,6 +127,7 @@ class CrawlEngine:
         spark: SparkSession,
         cfg: CrawlConfig,
         fetch_fn=None,
+        html_fetch_fn=None,
         lang_gate=CU.default_lang_gate,
         checkpoint_dir: str | None = None,
         with_images: bool = False,
@@ -122,6 +145,7 @@ class CrawlEngine:
         self.spark = spark
         self.cfg = cfg
         self.fetch_fn = fetch_fn or synthetic_web.fetch_page
+        self.html_fetch_fn = html_fetch_fn
         self.lang_gate = lang_gate
         self.checkpoint_dir = checkpoint_dir
         self.with_images = with_images
@@ -313,10 +337,15 @@ class CrawlEngine:
         fetchable = to_fetch.join(refused, "url", "left_anti")
         # scale: repartition by domain bounds per-task host fan-out and
         # keeps politeness group-local; per_host_budget bounds skew.
+        fetch_udf = (
+            pandas_html_fetcher(self.html_fetch_fn)
+            if self.html_fetch_fn is not None
+            else pandas_fetcher(self.fetch_fn)
+        )
         fetched_new = (
             fetchable.repartition(F.col("domain"))
             .select("url")
-            .mapInPandas(pandas_fetcher(self.fetch_fn), FETCH_SCHEMA)
+            .mapInPandas(fetch_udf, FETCH_SCHEMA)
         )
         fetched = self._pin(
             fetched_new.unionByName(

@@ -149,3 +149,36 @@ def fetch_page(url: str, seed: int = 42) -> tuple[str, list[str], bool]:
 def seed_urls() -> list[str]:
     """Bootstrap URLs whose pages fan out into the synthetic web."""
     return ["https://seed.example/start"]
+
+
+# ---------------------------------------------------------------------------
+# Raw-HTML emission: the same pages as real markup, so the S2 parser
+# (functions/html.py) can be exercised end-to-end. render_html is built
+# to be exactly inverted by html_to_text/extract_links:
+#   html_to_text(render_html(text, links)) == text
+#   extract_links(render_html(text, links)) == links
+# (text lines become escaped <p> blocks; links become empty anchors that
+# contribute no text; head/script content must be dropped by the parser.)
+
+
+def render_html(text: str, links: list[str], title: str = "page") -> str:
+    from html import escape
+
+    paras = "\n".join(f"<p>{escape(p)}</p>" for p in text.split("\n"))
+    anchors = "".join(f'<a href="{escape(l, quote=True)}"></a>' for l in links)
+    return (
+        "<!DOCTYPE html><html><head>"
+        f"<title>{escape(title)}</title>"
+        "<style>p { margin: 0 }</style>"
+        f"<script>var nLinks = {len(links)};</script>"
+        "</head>\n<body>\n"
+        f"{paras}\n<nav>{anchors}</nav>\n"
+        "<!-- generated -->\n</body></html>"
+    )
+
+
+def fetch_html(url: str, seed: int = 42) -> tuple[str, bool]:
+    """The deterministic 'HTTP GET' returning raw body markup."""
+    if not fetch_ok(url, seed):
+        return "", False
+    return render_html(page_text(url, seed), page_links(url, seed), title=url), True
