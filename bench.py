@@ -60,6 +60,8 @@ HEADLINE = [
     "audio_features_summary",
     "video_frame_sample_motion",
     "html_extract_stats",
+    "baseline_merge",
+    "ngrams_pruned_2to5",
 ]
 
 # synthetic frontier size for the throughput job (local scale; the

@@ -54,6 +54,56 @@ def top_k(freq: DataFrame, k: int = 100) -> DataFrame:
     return rsort(freq).limit(k)
 
 
+def load_corpus_file(spark, path: str) -> DataFrame:
+    """S9 loader (corpusfreqlib/corpusfreqlib.go:50-96): parse the BNC
+    ``all.num`` line format ``"%d %s %s %d"`` into
+    (token, num_total, pos, num_docs, line_no).
+
+    `line_no` preserves file order so merge_baselines can reproduce the
+    reference's exact dedup rule: for each word, the FIRST line with a
+    nonzero count wins; a zero-count entry only holds the slot until a
+    later line overwrites it (``if corpusFreqs[word].numTotal == 0``,
+    corpusfreqlib.go:88-91).
+
+    Scale: one narrow scan; monotonically_increasing_id over an ordered
+    single-file read gives ids whose sort order equals file order
+    (partition index occupies the high bits).
+    """
+    lines = (
+        spark.read.text(path)
+        .select(F.monotonically_increasing_id().alias("line_no"), "value")
+        .filter(F.trim("value") != "")
+        .select("line_no", F.split(F.trim("value"), r"\s+").alias("f"))
+    )
+    return lines.select(
+        F.element_at("f", 2).alias("token"),
+        F.element_at("f", 1).cast("long").alias("num_total"),
+        F.element_at("f", 3).alias("pos"),
+        F.element_at("f", 4).cast("long").alias("num_docs"),
+        "line_no",
+    )
+
+
+def dedup_first_wins(df: DataFrame) -> DataFrame:
+    """The reference's per-file dedup (corpusfreqlib.go:88-91): first
+    nonzero-count line per word wins; if all its lines are zero-count,
+    the last one stands. One partial-agg shuffle on token."""
+    agg = df.groupBy("token").agg(
+        F.min(
+            F.when(
+                F.col("num_total") != 0, F.struct("line_no", "num_total")
+            )
+        ).alias("nz"),
+        F.max(F.struct("line_no", "num_total")).alias("z"),
+    )
+    return agg.select(
+        "token",
+        F.coalesce(F.col("nz.num_total"), F.col("z.num_total")).alias(
+            "num_total"
+        ),
+    )
+
+
 def merge_baselines(classical: DataFrame, contemporary: DataFrame) -> DataFrame:
     """S9/A5 (corpusfreqlib/corpusfreqlib.go:88-115): first-wins dedup
     per corpus file, then contemporary counts are scaled into the
@@ -66,10 +116,7 @@ def merge_baselines(classical: DataFrame, contemporary: DataFrame) -> DataFrame:
     """
     def dedup(df: DataFrame) -> DataFrame:
         if "line_no" in df.columns:
-            order = F.min(F.struct("line_no", "num_total"))
-            return df.groupBy("token").agg(order.alias("s")).select(
-                "token", F.col("s.num_total").alias("num_total")
-            )
+            return dedup_first_wins(df)
         return df.groupBy("token").agg(F.min("num_total").alias("num_total"))
 
     c = dedup(classical)

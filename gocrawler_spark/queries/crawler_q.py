@@ -10,6 +10,8 @@ alternation (crawler.go:1420) — identical regex strings on both sides.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -290,6 +292,54 @@ def background_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(scale)
     )
     return j.select("token", adj.alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# S9/A5 from FILES: the reference boots its English baseline by parsing
+# two "%d %s %s %d" corpus files and merging them on the "the" anchor
+# (corpusfreqlib.go:50-115). The fixtures ship in-repo in the same line
+# format; duplicates are constructed so the first occurrence carries the
+# largest count, making the reference's first-wins dedup expressible as
+# MAX() for the SQL oracle (true order-dependent first-wins is covered
+# by tests/test_corpus_files.py).
+_FIXTURES = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
+_CLASSICAL = os.path.join(_FIXTURES, "bnc_classical.num")
+_CONTEMP = os.path.join(_FIXTURES, "bnc_contemporary.num")
+
+_NUM_COLS = "{'num_total': 'BIGINT', 'token': 'VARCHAR', 'pos': 'VARCHAR', 'num_docs': 'BIGINT'}"
+
+
+@register(
+    "baseline_merge",
+    f"""
+WITH eng AS (
+  SELECT token, MAX(num_total) AS num_total
+  FROM read_csv('{_CLASSICAL}', delim=' ', header=false, columns={_NUM_COLS})
+  GROUP BY token
+),
+cont AS (
+  SELECT token, MAX(num_total) AS num_total
+  FROM read_csv('{_CONTEMP}', delim=' ', header=false, columns={_NUM_COLS})
+  GROUP BY token
+),
+factor AS (
+  SELECT (SELECT CAST(num_total AS DOUBLE) FROM eng WHERE token = 'the')
+       / (SELECT CAST(num_total AS DOUBLE) FROM cont WHERE token = 'the') AS f
+)
+SELECT COALESCE(e.token, c.token) AS token,
+       CAST(floor(CAST(COALESCE(e.num_total, 0) AS DOUBLE)
+                  + (SELECT f FROM factor) * COALESCE(c.num_total, 0))
+            AS BIGINT) AS num_total
+FROM eng e FULL OUTER JOIN cont c ON e.token = c.token
+""",
+)
+def baseline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-driven A5: load both corpus files (first-wins dedup via
+    line_no) and merge with the int-truncating "the"-ratio scaling
+    (corpusfreqlib.go:103-112)."""
+    c = CO.load_corpus_file(spark, _CLASSICAL)
+    m = CO.load_corpus_file(spark, _CONTEMP)
+    return CO.merge_baselines(c, m)
 
 
 # ---------------------------------------------------------------------------

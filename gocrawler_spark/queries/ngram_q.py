@@ -96,35 +96,46 @@ gtoks AS (
   FROM dedup
 ),
 """
-    + ",".join(_level_ctes(n) for n in range(2, N_MAX + 1))
+    + ",".join(_level_ctes(n) for n in range(2, 6))
 )
 
-_PRUNED_SQL = (
-    _NGRAM_BASE_SQL
-    + f""",
-l4_kept AS (
-  SELECT gram, cnt FROM l4 g
-  WHERE NOT EXISTS (SELECT 1 FROM l3 s
-                    WHERE contains(g.gram, s.gram) AND s.cnt > 2 * g.cnt)
-),
-l3_kept AS (
-  SELECT gram, cnt FROM l3 g
-  WHERE NOT EXISTS (SELECT 1 FROM l4 s
-                    WHERE contains(s.gram, g.gram) AND s.cnt > g.cnt // 2)
-    AND NOT EXISTS (SELECT 1 FROM l2 s
-                    WHERE contains(g.gram, s.gram) AND s.cnt > 2 * g.cnt)
-),
-l2_kept AS (
-  SELECT gram, cnt FROM l2 g
-  WHERE NOT EXISTS (SELECT 1 FROM l3 s
-                    WHERE contains(s.gram, g.gram) AND s.cnt > g.cnt // 2)
-)
-SELECT 4 AS n, gram, cnt FROM l4_kept
-UNION ALL SELECT 3 AS n, gram, cnt FROM l3_kept
-UNION ALL SELECT 2 AS n, gram, cnt FROM l2_kept
-ORDER BY n DESC, cnt DESC, gram DESC
-"""
-)
+
+def _pruned_sql(n_max: int) -> str:
+    """Cross-level pruning (W4) for levels 2..n_max: a gram is dropped
+    if a SUPERSTRING one level up has cnt > floor(cnt/2), or a
+    SUBSTRING one level down has cnt > 2*cnt (crawler.go:758-800)."""
+    kept = []
+    for n in range(n_max, 1, -1):
+        conds = []
+        if n < n_max:
+            conds.append(
+                f"NOT EXISTS (SELECT 1 FROM l{n + 1} s"
+                f" WHERE contains(s.gram, g.gram) AND s.cnt > g.cnt // 2)"
+            )
+        if n > 2:
+            conds.append(
+                f"NOT EXISTS (SELECT 1 FROM l{n - 1} s"
+                f" WHERE contains(g.gram, s.gram) AND s.cnt > 2 * g.cnt)"
+            )
+        kept.append(
+            f"l{n}_kept AS (SELECT gram, cnt FROM l{n} g"
+            f" WHERE {' AND '.join(conds)})"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {n} AS n, gram, cnt FROM l{n}_kept"
+        for n in range(n_max, 1, -1)
+    )
+    return (
+        _NGRAM_BASE_SQL
+        + ",\n"
+        + ",\n".join(kept)
+        + "\n"
+        + selects
+        + "\nORDER BY n DESC, cnt DESC, gram DESC\n"
+    )
+
+
+_PRUNED_SQL = _pruned_sql(N_MAX)
 
 _TRIGRAM_SQL = _NGRAM_BASE_SQL + """
 SELECT gram, cnt FROM l3 ORDER BY cnt DESC, gram DESC
@@ -138,6 +149,18 @@ def ngrams_pruned_2to4(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset/superset pruning."""
     docs = load(spark, sf_dir, "documents")
     return NG.ngrams_all_levels(docs, _CFG, n_max=N_MAX).orderBy(
+        F.desc("n"), F.desc("cnt"), F.desc("gram")
+    )
+
+
+@register("ngrams_pruned_2to5", _pruned_sql(5))
+def ngrams_pruned_2to5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's offline miner runs at n=5
+    (ngramsFreqsOfAll(text, 5), crawler.go:1512): same miner as
+    ngrams_pruned_2to4 plus the 5-gram level and the 4↔5 pruning
+    boundary."""
+    docs = load(spark, sf_dir, "documents")
+    return NG.ngrams_all_levels(docs, _CFG, n_max=5).orderBy(
         F.desc("n"), F.desc("cnt"), F.desc("gram")
     )
 
