@@ -274,6 +274,88 @@ def covid_profile(**overrides) -> CrawlConfig:
     return cfg.with_(**overrides) if overrides else cfg
 
 
+_NEUTRAL_YAML_CURATED_DOMAINS = _rm_newlines(
+    r"""en\.wikipedia\.org|arxiv\.org|wired\.com|nytimes\.com"""
+)
+
+_NEUTRAL_YAML_LINK_OK = _rm_newlines(
+    """fulltext|article|news|aws|amazon|storage|customers|solutions|cloud|analytics|serverless|workloads|efs|applications|tech|learning|kubernetes|create|build|guardduty|video|instances|console|fargate|developers|component|text|privacy|domain|registry|services|stack|advertising|registrant|applicable|web|dow|collect|registration|overflow|microsoft|cookie|browser|opt|cds|yahoo|apps|mobile|arbitration|notice|verizon|device|account|analytics|agree|ads|tucows|aug|tracking|wordpress|providers|barron|app|wsj|affiliates|settings|vox|registered|submit|dispute|license|accordance|strikingly|trump|cxense|previews|media|browsing|artwork|biden|bankrate|address|woocommerce|hosting|delete|brands|rel|cbs|personalized|marketing|learn|registrar|whatsapp|proprietary|apy|request|pursuant|provider|icann|network|fdic|disputes|newsletter|lazyload|equity|posted|notices|browsers|automattic|acknowledge|download|disclose|digital|collected|technologies|subscription|fees|com"""
+)
+
+_NEUTRAL_YAML_RANKING_KEYWORDS = _rm_newlines(
+    r"""(?i)\W(the|of|and|for|english|2020|international|aws|amazon|storage|customers|solutions|cloud|analytics|serverless|workloads|efs|applications|tech|learning|kubernetes|create|build|guardduty|video|instances|console|fargate|developers|component|text|privacy|domain|registry|services|stack|advertising|registrant|applicable|web|dow|collect|registration|overflow|microsoft|cookie|browser|opt|cds|yahoo|apps|mobile|arbitration|notice|verizon|device|account|analytics|agree|ads|tucows|aug|tracking|wordpress|providers|barron|app|wsj|affiliates|settings|vox|registered|submit|dispute|license|accordance|strikingly|trump|cxense|previews|media|browsing|artwork|biden|bankrate|address|woocommerce|hosting|delete|brands|rel|cbs|personalized|marketing|learn|registrar|whatsapp|proprietary|apy|request|pursuant|provider|icann|network|fdic|disputes|newsletter|lazyload|equity|posted|notices|browsers|automattic|acknowledge|download|disclose|digital|collected|technologies|subscription|fees)\W"""
+)
+
+
+def neutral_profile(**overrides) -> CrawlConfig:
+    """crawler.yaml + neutral.yaml — the reference's third shipped
+    configuration: a non-topical ("general contemporary English")
+    profile whose ranking keywords are the high-frequency web
+    boilerplate vocabulary."""
+    cfg = CrawlConfig(
+        regex_banned_domains=_CRAWLER_YAML_BANNED_DOMAINS,
+        regex_link_banned_tokens=_CRAWLER_YAML_BANNED_TOKENS,
+        eng_stopwords_wo_the=_CRAWLER_YAML_STOPWORDS_WO_THE,
+        eng_low_relevancy_words=_CRAWLER_YAML_LOW_RELEVANCY,
+        special_stopwords=_CRAWLER_YAML_SPECIAL_STOPWORDS,
+        curated_domains=_NEUTRAL_YAML_CURATED_DOMAINS,
+        link_ok=_NEUTRAL_YAML_LINK_OK,
+        regex_ranking_keywords=_NEUTRAL_YAML_RANKING_KEYWORDS,
+        bootstrapping_links=(
+            "https://moz.com/top500",
+            "https://www.similarweb.com/top-websites/",
+            "https://en.wikipedia.org/wiki/List_of_most_popular_websites",
+        ),
+        min_doc_len=0,
+        max_doc_len=100000,
+        score_threshold=0.0,  # absent in neutral.yaml → viper zero value
+    )
+    return cfg.with_(**overrides) if overrides else cfg
+
+
+def load_profile_yaml(global_path: str, profile_path: str) -> CrawlConfig:
+    """S10: build a CrawlConfig from a crawler.yaml-shaped global file
+    plus a <topic>.yaml-shaped profile file, reproducing the viper
+    loading + RmNewLines regex assembly verbatim
+    (yamlInitGeneral crawler.go:1408-1432, yamlInitSpecific 1455-1475):
+
+    - every string value passes through RmNewLines (YAML literal blocks
+      become one long alternation);
+    - missing keys take viper zero values ("" / 0 / empty slice);
+    - scoreThreshold is read as an int then widened to float64, exactly
+      like ``float64(viper.GetInt("scoreThreshold"))``.
+    """
+    import yaml
+
+    with open(global_path) as f:
+        g = yaml.safe_load(f) or {}
+    with open(profile_path) as f:
+        p = yaml.safe_load(f) or {}
+
+    def s(d: dict, key: str) -> str:
+        return _rm_newlines(str(d.get(key) or ""))
+
+    def i(d: dict, key: str) -> int:
+        return int(d.get(key) or 0)
+
+    return CrawlConfig(
+        regex_banned_domains=s(g, "regexBannedDomains"),
+        regex_link_banned_tokens=s(g, "regexLinkBannedTokens"),
+        eng_stopwords_wo_the=s(g, "engStopWordsWOthe"),
+        eng_low_relevancy_words=s(g, "engLowRelevancyWords"),
+        special_stopwords=s(g, "specialStopwords"),
+        download_timeout_s=i(g, "downloadTimeout"),
+        curated_domains=s(p, "curatedDomains"),
+        link_ok=s(p, "linkOk"),
+        regex_ranking_keywords=s(p, "regexRankingKeywords"),
+        # the reference key is spelled "bootstrapingLinks" (sic)
+        bootstrapping_links=tuple(p.get("bootstrapingLinks") or ()),
+        min_doc_len=i(p, "minDocLen"),
+        max_doc_len=i(p, "maxDocLen"),
+        score_threshold=float(i(p, "scoreThreshold")),
+    )
+
+
 def test_profile(**overrides) -> CrawlConfig:
     """Small deterministic profile for the synthetic web in tests."""
     cfg = CrawlConfig(

@@ -343,6 +343,43 @@ def baseline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The ENGINE LOOP under the oracle gate: run the wave engine for 5 waves
+# over the deterministic synthetic web and emit the frontier state. The
+# oracle side is a committed fixture produced by the Python
+# reference-semantics oracle (oracle/pyoracle.py, the line-cited
+# transliteration of crawler.go's loop) — regenerate with
+# ReferenceOracle(test_profile(), fetch_page).run(max_iters=5).
+_FRONTIER_W5 = os.path.join(_FIXTURES, "crawl_frontier_w5.csv")
+
+
+@register(
+    "crawl_frontier_5waves",
+    f"""
+SELECT url, domain, CAST(count AS BIGINT) AS count,
+       CAST(status AS INT) AS status, CAST(seq AS BIGINT) AS seq
+FROM read_csv('{_FRONTIER_W5}', header=true)
+""",
+)
+def crawl_frontier_5waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five exact-mode waves of CrawlEngine (wave_size=1): frontier
+    (url, domain, count, status, seq) must equal the reference
+    semantics byte-for-byte — this gates the engine loop itself
+    (selection, fetch, politeness, merge, status transitions), not just
+    its operators."""
+    from gocrawler_spark.config import test_profile
+    from gocrawler_spark.plans.crawl import CrawlEngine
+
+    st = CrawlEngine(spark, test_profile(wave_size=1)).run(max_steps=5)
+    return st.frontier.select(
+        "url",
+        "domain",
+        F.col("count").cast("long").alias("count"),
+        F.col("status").cast("int").alias("status"),
+        F.col("seq").cast("long").alias("seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
 @register(
     "bigrams_top100",
     f"""

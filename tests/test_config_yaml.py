@@ -1,0 +1,113 @@
+"""S10: YAML profile loading (crawler.go:1408-1475) — round-trip of the
+hardcoded profiles through yaml files, RmNewLines assembly, viper zero
+values, and an engine run under the neutral (non-topic) profile."""
+
+import textwrap
+
+from gocrawler_spark.config import (
+    CrawlConfig,
+    covid_profile,
+    load_profile_yaml,
+    neutral_profile,
+    test_profile,
+)
+from gocrawler_spark.plans.crawl import CrawlEngine
+
+
+def _split_alternation(s: str, every: int = 10) -> str:
+    """Re-introduce newlines after every Nth '|' so the YAML block
+    exercises the RmNewLines reassembly."""
+    parts = s.split("|")
+    out, line = [], []
+    for i, p in enumerate(parts):
+        line.append(p)
+        if (i + 1) % every == 0 and (i + 1) < len(parts):
+            out.append("|".join(line) + "|")
+            line = []
+    if line:
+        out.append("|".join(line))
+    return "\n".join(out)
+
+
+def _block(key: str, value: str) -> str:
+    return f"{key}: |\n" + textwrap.indent(_split_alternation(value), "  ")
+
+
+def _write_mirror(tmp_path, cfg: CrawlConfig):
+    g = tmp_path / "crawler.yaml"
+    p = tmp_path / "profile.yaml"
+    g.write_text(
+        "\n".join(
+            [
+                _block("regexBannedDomains", cfg.regex_banned_domains),
+                _block("regexLinkBannedTokens", cfg.regex_link_banned_tokens),
+                _block("engStopWordsWOthe", cfg.eng_stopwords_wo_the),
+                _block("engLowRelevancyWords", cfg.eng_low_relevancy_words),
+                _block("specialStopwords", cfg.special_stopwords),
+                f"downloadTimeout: {cfg.download_timeout_s}",
+            ]
+        )
+    )
+    p.write_text(
+        "\n".join(
+            [
+                _block("curatedDomains", cfg.curated_domains),
+                _block("linkOk", cfg.link_ok),
+                _block("regexRankingKeywords", cfg.regex_ranking_keywords),
+                "bootstrapingLinks:",
+                *[f'- "{u}"' for u in cfg.bootstrapping_links],
+                f"minDocLen: {cfg.min_doc_len}",
+                f"maxDocLen: {cfg.max_doc_len}",
+            ]
+        )
+    )
+    return str(g), str(p)
+
+
+def test_yaml_round_trip_covid(tmp_path):
+    want = covid_profile()
+    got = load_profile_yaml(*_write_mirror(tmp_path, want))
+    assert got == want
+
+
+def test_yaml_round_trip_neutral(tmp_path):
+    want = neutral_profile()
+    got = load_profile_yaml(*_write_mirror(tmp_path, want))
+    assert got == want
+
+
+def test_missing_keys_take_viper_zero_values(tmp_path):
+    g = tmp_path / "g.yaml"
+    p = tmp_path / "p.yaml"
+    g.write_text("regexBannedDomains: x\n")
+    p.write_text("minDocLen: 5\n")
+    cfg = load_profile_yaml(str(g), str(p))
+    assert cfg.link_ok == ""
+    assert cfg.curated_domains == ""
+    assert cfg.download_timeout_s == 0
+    assert cfg.min_doc_len == 5
+    assert cfg.max_doc_len == 0
+    assert cfg.score_threshold == 0.0
+    assert cfg.bootstrapping_links == ()
+
+
+def test_neutral_profile_regex_assembly():
+    cfg = neutral_profile()
+    # the profile's regexLinkOk ends with |com| from linkOk plus the
+    # curated domains (crawler.go:1463 assembly)
+    assert cfg.regex_link_ok.startswith(r"(?i)^https*://.*(")
+    assert r"en\.wikipedia\.org" in cfg.regex_link_ok
+    assert "fulltext|article|news" in cfg.regex_link_ok
+    # stopword machinery is shared with the other profiles
+    assert cfg.eng_stopwords.startswith("the|")
+
+
+def test_engine_runs_under_neutral_profile(spark):
+    cfg = neutral_profile(
+        bootstrapping_links=test_profile().bootstrapping_links,
+        wave_size=1,
+    )
+    st = CrawlEngine(spark, cfg).run(max_steps=4)
+    assert st.wave == 4
+    assert st.frontier.count() > 1
+    assert st.pages.count() >= 1
