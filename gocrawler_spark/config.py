@@ -52,6 +52,7 @@ class CrawlConfig:
     eng_low_relevancy_words: str  # alternation (crawler.yaml)
     special_stopwords: str  # alternation (crawler.yaml)
     download_timeout_s: int = 8
+    add_url: str = ""  # S11 indexer endpoint; "" = disabled (crawler.yaml:26-27)
     # --- <topic>.yaml (profile) ---
     curated_domains: str = ""
     link_ok: str = ""
@@ -345,6 +346,8 @@ def load_profile_yaml(global_path: str, profile_path: str) -> CrawlConfig:
         eng_low_relevancy_words=s(g, "engLowRelevancyWords"),
         special_stopwords=s(g, "specialStopwords"),
         download_timeout_s=i(g, "downloadTimeout"),
+        # viper GetString + strings.TrimSpace (crawler.go:1422)
+        add_url=str(g.get("addUrl") or "").strip(),
         curated_domains=s(p, "curatedDomains"),
         link_ok=s(p, "linkOk"),
         regex_ranking_keywords=s(p, "regexRankingKeywords"),

@@ -139,6 +139,7 @@ class CrawlEngine:
         checkpoint_every: int = 1,
         use_bucketed_frontier: bool = False,
         frontier_buckets: int = 32,
+        index_transport=None,
     ):
         from gocrawler_spark.sources import synthetic_web
 
@@ -155,6 +156,7 @@ class CrawlEngine:
         self.wave_budget_ms = wave_budget_ms
         self.robots_fn = robots_fn
         self.checkpoint_every = checkpoint_every
+        self.index_transport = index_transport
         self.store = TableStore(checkpoint_dir) if checkpoint_dir else None
         self.pins = PinSet(spark)
         # scale mode: frontier state lives in a domain-bucketed,
@@ -448,6 +450,12 @@ class CrawlEngine:
         )
         accepted = scored.filter(F.col("burst_ok"))
         accepted = self._pin(accepted)
+        # S11: fire-and-forget indexer notification for every accepted
+        # doc (crawler.go:1384-1396); disabled while add_url is empty.
+        if cfg.add_url and self.index_transport is not None:
+            from gocrawler_spark.sinks import indexer as IX
+
+            IX.notify_indexer(accepted, cfg.add_url, self.index_transport)
         st.accepted = self._pin(
             st.accepted.unionByName(
                 accepted.select(
