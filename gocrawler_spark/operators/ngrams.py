@@ -178,10 +178,25 @@ def ngrams_all_levels(
     # local relations, so repeated invocations in a long-lived session leave
     # no cached blocks behind (same leak class PinSet fixes for the engine).
     spark = docs.sparkSession
-    levels = {}
-    for n in range(2, n_max + 1):
-        lvl = ngram_level(sents, cfg, n)
-        levels[n] = spark.createDataFrame(lvl.collect(), lvl.schema)
+    # One collect job whose per-level aggregate branches run as
+    # CONCURRENT stages over the cached sentences (serial per-level
+    # collects would serialize the mining).
+    tagged = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            ngram_level(sents, cfg, n).select(
+                F.lit(n).alias("n"), "gram", "cnt"
+            )
+            for n in range(2, n_max + 1)
+        ],
+    ).collect()
+    levels = {
+        n: spark.createDataFrame(
+            [(r["gram"], r["cnt"]) for r in tagged if r["n"] == n],
+            "gram string, cnt long",
+        )
+        for n in range(2, n_max + 1)
+    }
     sents.unpersist()
     kept = []
     for n in range(n_max, 1, -1):

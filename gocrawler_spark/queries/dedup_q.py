@@ -16,7 +16,7 @@ bucket-equijoin that Spark shuffles on the band key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gocrawler_spark.queries import load, register
@@ -142,13 +142,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap^2 pairs; AQE skew-split handles the remainder. Jaccard is
     computed over the capped shingle sets on both engine and oracle."""
     ds = _doc_shingles(spark, sf_dir)
-    rare = (
-        ds.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # df cap as a window over the shingle partition: ONE shuffle on the
+    # shingle, whose partitioning the self-join below then reuses (no
+    # extra exchange vs the uncapped plan).
+    kept = (
+        ds.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .filter(F.col("df") <= JACCARD_DF_CAP)
-        .select("shingle")
+        .drop("df")
     )
-    kept = ds.join(rare, "shingle")
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = kept.alias("a")
     b = kept.alias("b")

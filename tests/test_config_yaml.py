@@ -9,8 +9,8 @@ from gocrawler_spark.config import (
     covid_profile,
     load_profile_yaml,
     neutral_profile,
-    test_profile,
 )
+from gocrawler_spark.config import test_profile as _test_profile
 from gocrawler_spark.plans.crawl import CrawlEngine
 
 
@@ -104,7 +104,7 @@ def test_neutral_profile_regex_assembly():
 
 def test_engine_runs_under_neutral_profile(spark):
     cfg = neutral_profile(
-        bootstrapping_links=test_profile().bootstrapping_links,
+        bootstrapping_links=_test_profile().bootstrapping_links,
         wave_size=1,
     )
     st = CrawlEngine(spark, cfg).run(max_steps=4)
