@@ -51,5 +51,6 @@ from gocrawler_spark.queries import html_q  # noqa: E402,F401
 from gocrawler_spark.queries import image_q  # noqa: E402,F401
 from gocrawler_spark.queries import media_q  # noqa: E402,F401
 from gocrawler_spark.queries import ngram_q  # noqa: E402,F401
+from gocrawler_spark.queries import pipeline_q  # noqa: E402,F401
 from gocrawler_spark.queries import rel_q  # noqa: E402,F401
 from gocrawler_spark.queries import text_q  # noqa: E402,F401

@@ -1,0 +1,309 @@
+"""Training-data pipeline queries beyond per-pair dedup: cluster
+formation, mixture sampling, and benchmark decontamination.
+
+These are the steps a 100 TB curation pipeline runs AFTER the pairwise
+near-dup detectors (dedup_q):
+
+- ``dedup_clusters``: pairs -> connected components -> canonical doc.
+  A doc can be near-dup of B and B of C without A~C ever scoring a
+  pair; keeping "first of each pair" would then keep two of the three.
+  Components are the correct dedup unit (the reference's P5 keeps the
+  first doc per signature, crawler.go:1248-1255 — this generalizes
+  that "first wins" rule to the transitive closure over ALL near-dup
+  evidence).
+- ``sample_stratified``: deterministic per-(source, lang) stratum
+  sampling for training mixtures — rank by md5(doc_id) inside each
+  stratum and keep the top ceil(20%). Hash-ranked sampling is
+  reproducible across runs/engines and immune to partitioning order,
+  unlike ``df.sample`` (seeded per-partition => changes when the
+  partitioning does).
+- ``decontaminate_overlap``: count distinct analyzer shingles each
+  training doc shares with a held-out benchmark source; any overlap
+  flags the doc. The standard eval-contamination sweep, expressed as
+  one distinct-shingle equijoin.
+
+Scale notes per query in the docstrings; all heavy work is joins and
+partial aggregations — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gocrawler_spark.functions import text as TX
+from gocrawler_spark.queries import ORACLES, QUERIES, load, register
+from gocrawler_spark.queries.crawler_q import (
+    CFG,
+    STOP_RX,
+    TOKS_SQL,
+    _SIG_SQL,
+    _signatures,
+)
+from gocrawler_spark.queries.dedup_q import SHINGLE_N
+
+# The near-dup edge set: shingle-Jaccard pairs (dedup_ngram_jaccard,
+# already df-capped and thresholded) UNION P5 signature-equal pairs
+# expressed as STARS (doc -> its group's min doc), not cliques — a
+# signature group of size g contributes g-1 edges, not g*(g-1)/2, and
+# star edges are CC-equivalent to the clique.
+_CC_MAX_ITERS = 30
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected edge list
+    ``(doc_a, doc_b)`` to a fixed point; returns ``(doc_id,
+    cluster_id)`` for every node that appears in an edge, cluster_id =
+    min node id in the component.
+
+    Per round: one shuffle (labels -> edges join on src) + a
+    partial-agg min per dst; ``localCheckpoint`` truncates the loop's
+    lineage so the plan doesn't grow with iterations. Rounds are
+    bounded by the component diameter — near-dup components are
+    shallow, so this converges in a handful of rounds; for
+    adversarially long chains switch to large-star/small-star
+    (O(log n) rounds, identical output). Nothing gathers to the
+    driver beyond the 1-row convergence probe."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_CC_MAX_ITERS):
+        prop = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        nxt = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+                ).alias("comp"),
+                (F.col("nbr_min") < F.col("comp")).alias("_moved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        moved = nxt.filter(F.col("_moved")).limit(1).count()
+        labels = nxt.drop("_moved")
+        if moved == 0:
+            break
+    return labels.select("doc_id", F.col("comp").alias("cluster_id"))
+
+
+def _edge_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jac = (
+        QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
+        .select("doc_a", "doc_b")
+    )
+    sigs = _signatures(spark, sf_dir)
+    mins = sigs.groupBy("signature").agg(F.min("doc_id").alias("m"))
+    stars = (
+        sigs.join(mins, "signature")
+        .filter(F.col("doc_id") != F.col("m"))
+        .select(F.col("m").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return jac.unionByName(stars).distinct()
+
+
+@register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE
+jp AS (SELECT doc_a, doc_b FROM ({ORACLES['dedup_ngram_jaccard']}) j),
+sigs AS ({_SIG_SQL}),
+mins AS (SELECT signature, min(doc_id) AS m FROM sigs GROUP BY signature),
+sp AS (
+  SELECT mins.m AS doc_a, sigs.doc_id AS doc_b
+  FROM sigs JOIN mins USING (signature)
+  WHERE sigs.doc_id <> mins.m
+),
+edges0 AS (SELECT doc_a, doc_b FROM jp UNION SELECT doc_a, doc_b FROM sp),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges0
+  UNION SELECT doc_b, doc_a FROM edges0
+),
+nodes AS (
+  SELECT DISTINCT src AS doc_id FROM edges
+),
+reach(doc_id, comp) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+labels AS (
+  SELECT doc_id, min(comp) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT l.doc_id, l.cluster_id,
+       count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+       CAST(l.doc_id = l.cluster_id AS BIGINT) AS is_canonical
+FROM labels l
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup evidence graph
+    (Jaccard pairs + P5 signature stars); cluster_id = min doc_id in
+    the component = the transitive "first wins" canonical doc.
+
+    Spark path: min-label propagation to a fixed point — per round one
+    shuffle (join labels->edges on src) + one partial-agg min per dst,
+    with ``localCheckpoint`` truncating the loop's lineage. Rounds are
+    bounded by the component diameter; near-dup components are
+    shallow (dup clusters, not social graphs), so this converges in a
+    handful of rounds. At 1000-executor scale the same loop holds —
+    edges shuffle once per round on src and nothing ever gathers to
+    the driver; for adversarially long chains switch the body to
+    large-star/small-star (alternating min-joins), which converges in
+    O(log n) rounds with identical output."""
+    out = connected_components(_edge_frames(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("long").alias(
+            "is_canonical"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+_SAMPLE_RATE = 0.2
+
+
+@register(
+    "sample_stratified",
+    f"""
+WITH r AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source, lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY source, lang) AS n
+  FROM documents
+)
+SELECT doc_id, source, lang, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= ceil(n * {_SAMPLE_RATE})
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: within each (source, lang)
+    stratum rank docs by md5(doc_id) and keep the top ceil(20%).
+
+    One shuffle on the stratum key; the md5 rank makes the sample a
+    pure function of doc_id (stable across runs, partitionings, and
+    engines — both engines emit identical lowercase-hex md5). At
+    100 TB a mega-stratum makes the single-partition window the
+    bottleneck; the fix is rank-free two-phase sampling (keep
+    md5-prefix < rate, then trim the small overshoot), which this
+    column design supports unchanged."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    strat = Window.partitionBy("source", "lang")
+    r = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.row_number().over(strat.orderBy(key, "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(strat).alias("n"),
+    )
+    return r.filter(
+        F.col("rn") <= F.ceil(F.col("n") * F.lit(_SAMPLE_RATE))
+    ).select("doc_id", "source", "lang", F.col("rn").cast("long").alias("rn"))
+
+
+# ---------------------------------------------------------------------------
+_BENCH_SOURCE = "src0"
+
+_SRC_SHINGLES_CTE = f"""
+toklists AS (
+  SELECT doc_id, source,
+         list_filter({TOKS_SQL}, t -> NOT regexp_matches(t, '{STOP_RX}')) AS L
+  FROM documents WHERE lang = 'en'
+),
+shingles AS (
+  SELECT doc_id, source, L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS shingle
+  FROM (SELECT doc_id, source, L, unnest(range(1, len(L) - 1)) AS i
+        FROM toklists WHERE len(L) >= {SHINGLE_N})
+),
+ds AS (SELECT DISTINCT doc_id, source, shingle FROM shingles)
+"""
+
+
+@register(
+    "decontaminate_overlap",
+    f"""
+WITH {_SRC_SHINGLES_CTE},
+bench AS (SELECT DISTINCT shingle FROM ds WHERE source = '{_BENCH_SOURCE}'),
+train AS (SELECT doc_id, shingle FROM ds WHERE source <> '{_BENCH_SOURCE}'),
+hits AS (
+  SELECT doc_id, count(*) AS n
+  FROM train JOIN bench USING (shingle) GROUP BY doc_id
+),
+tdocs AS (SELECT DISTINCT doc_id FROM train)
+SELECT t.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared,
+       CAST(COALESCE(h.n, 0) > 0 AS BIGINT) AS contaminated
+FROM tdocs t LEFT JOIN hits h USING (doc_id)
+""",
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training doc (source != bench),
+    the number of distinct analyzer shingles it shares with the
+    benchmark source's shingle set, and a contaminated flag.
+
+    Scale: distinct-shingle sets on both sides, then one equijoin on
+    the shingle + a partial-agg count per doc — the join shuffles on
+    the shingle key exactly once and the benchmark side is typically
+    orders of magnitude smaller than training (broadcast when it fits;
+    here the planner decides). No per-row Python anywhere."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    L = TX.analyzed_tokens(F.col("text"), CFG)
+    base = docs.select("doc_id", "source", L.alias("L")).filter(
+        F.size("L") >= SHINGLE_N
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("L") - (SHINGLE_N - 1)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("L"), i),
+            F.element_at(F.col("L"), i + 1),
+            F.element_at(F.col("L"), i + 2),
+        ),
+    )
+    ds = base.select(
+        "doc_id", "source", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+    bench = (
+        ds.filter(F.col("source") == _BENCH_SOURCE).select("shingle").distinct()
+    )
+    train = ds.filter(F.col("source") != _BENCH_SOURCE).select(
+        "doc_id", "shingle"
+    )
+    hits = (
+        train.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tdocs = train.select("doc_id").distinct()
+    return tdocs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_shared"),
+        (F.coalesce(F.col("n"), F.lit(0)) > 0).cast("long").alias(
+            "contaminated"
+        ),
+    )
