@@ -235,10 +235,8 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-@register(
-    "simhash32",
-    f"""
-WITH {_SHINGLES_CTE},
+# shared: per-doc 32-bit SimHash (used by simhash32 and simhash_near_dups)
+_SIMHASH_CTE = f"""{_SHINGLES_CTE},
 tok AS (
   SELECT DISTINCT doc_id, shingle, {_md5_64_sql("shingle")} AS h
   FROM doc_shingles
@@ -248,10 +246,21 @@ bits AS (
          sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
   FROM tok, (SELECT unnest(range(32)) AS i) b
   GROUP BY doc_id, b.i
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM bits GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id
+"""
+
+
+@register(
+    "simhash32",
+    f"""
+WITH {_SIMHASH_CTE}
+SELECT doc_id, simhash FROM sh
 """,
 )
 def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,6 +288,77 @@ def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("v") > 0, F.call_function("shiftleft", F.lit(1).cast("bigint"), F.col("bit")))
             .otherwise(F.lit(0))
         ).alias("simhash")
+    )
+
+
+SIMHASH_BANDS = 4  # 4 bands x 8 bits over the 32-bit hash
+SIMHASH_MAX_HAMMING = 3  # pigeonhole: <=3 flipped bits leave >=1 band intact
+
+
+@register(
+    "simhash_near_dups",
+    f"""
+WITH {_SIMHASH_CTE},
+bands AS (
+  SELECT doc_id, simhash, b.i AS band, (simhash >> (b.i * 8)) & 255 AS bval
+  FROM sh, (SELECT unnest(range({SIMHASH_BANDS})) AS i) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS ha, b.simhash AS hb
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+""",
+)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs via banded LSH: split the 32-bit
+    hash into 4x8-bit bands, bucket-equijoin on (band, value), then
+    verify Hamming distance <= 3 with bit_count(xor). The pigeonhole
+    principle makes recall exact: any pair within 3 flipped bits has
+    at least one of its 4 bands unchanged, so banding loses nothing
+    while reducing the O(n^2) pair space to per-bucket collisions.
+    Scale: the join shuffles on (band, bval) — 1024 coarse keys at
+    32 bits; at 100 TB widen the hash to 64 bits / 8 bands (same
+    plan, finer buckets) so bucket sizes stay bounded."""
+    sh = simhash32(spark, sf_dir)
+    bands = spark.range(SIMHASH_BANDS).select(F.col("id").cast("int").alias("band"))
+    banded = sh.crossJoin(F.broadcast(bands)).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.call_function("shiftright", F.col("simhash"), F.col("band") * 8)
+        .bitwiseAND(255)
+        .alias("bval"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("ha"),
+        "band",
+        "bval",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("hb"),
+        "band",
+        "bval",
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
     )
 
 
