@@ -1,0 +1,238 @@
+"""Image+caption training-data pipeline queries (graft axis).
+
+The north_rule input is an image+caption pair table; a 100 TB curation
+pipeline over that table needs caption-level dedup and cross-modal
+contamination checks in addition to the pixel-level ops in image_q:
+
+- ``image_caption_dedup``: exact caption dedup — normalize the caption
+  (lowercase, trim, collapse whitespace) and keep the first image per
+  normalized caption ("first wins" by numeric id, the reference's P5
+  rule applied to captions, crawler.go:1248-1255). SQL-expressible on
+  the shared metadata derivation, so it has a full DuckDB oracle.
+- ``caption_decontaminate``: cross-modal contamination — which TEXT
+  documents contain analyzer 3-gram shingles from some OTHER image's
+  caption. The eval-decontamination sweep with captions as the held-out
+  side; self-matches (a caption is a prefix of its own source doc) are
+  excluded at the shingle join. Full DuckDB oracle.
+- ``image_dedup_clusters``: connected components over the union of
+  pixel evidence (phash banded-LSH pairs) and caption evidence (exact
+  normalized-caption groups as star edges). phash is Python-side, so
+  this is a rows-only driver check; cluster structure (twins join their
+  originals) is unit-tested in tests/test_image_pipeline.py.
+
+Caption derivation matches queries/image_q.py exactly:
+caption = substr(text, 1, 64) for doc_id < N_DOCS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gocrawler_spark.functions import text as TX
+from gocrawler_spark.operators import images as IM
+from gocrawler_spark.queries import load, register
+from gocrawler_spark.queries.crawler_q import CFG, STOP_RX, TOKS_SQL
+from gocrawler_spark.queries.dedup_q import SHINGLE_N
+from gocrawler_spark.queries.image_q import N_DOCS, images_from_documents
+from gocrawler_spark.queries.pipeline_q import connected_components
+
+# Shared caption derivation (both engines): images exist for
+# doc_id < N_DOCS; caption = first 64 chars of the source doc's text.
+_CAPTIONS_SQL = f"""
+captions AS (
+  SELECT doc_id AS image_id, substr(text, 1, 64) AS caption
+  FROM documents WHERE doc_id < {N_DOCS}
+)
+"""
+
+# caption normalization: lowercase, trim, collapse internal whitespace
+_NORM_SQL = "regexp_replace(lower(trim(caption)), '\\s+', ' ', 'g')"
+
+
+def _norm_caption(col):
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+@register(
+    "image_caption_dedup",
+    f"""
+WITH {_CAPTIONS_SQL},
+normed AS (
+  SELECT image_id, {_NORM_SQL} AS caption_norm FROM captions
+),
+groups AS (
+  SELECT image_id, caption_norm,
+         min(image_id) OVER (PARTITION BY caption_norm) AS canonical_id,
+         count(*) OVER (PARTITION BY caption_norm) AS group_size
+  FROM normed
+)
+SELECT CAST(image_id AS VARCHAR) AS image_id,
+       CAST(canonical_id AS VARCHAR) AS canonical_id,
+       CAST(group_size AS BIGINT) AS group_size,
+       CAST(image_id = canonical_id AS BIGINT) AS is_canonical
+FROM groups
+""",
+)
+def image_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact caption dedup over the image+caption table: first image
+    (lowest numeric id) per normalized caption is canonical, the rest
+    are drops.
+
+    Scale: one shuffle on the normalized-caption key (window =
+    partial-agg min/count per group). At 100 TB replace the raw
+    caption key with its xxhash64 to shrink shuffle width — the
+    grouping is unchanged. A boilerplate caption ("no caption") makes
+    a hot key; the min/count window stays a two-phase partial agg, so
+    skew costs bandwidth, not correctness — salt the partial agg if a
+    single caption dominates."""
+    caps = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < N_DOCS)
+        .select(
+            F.col("doc_id").alias("iid"),
+            _norm_caption(F.substring("text", 1, 64)).alias("caption_norm"),
+        )
+    )
+    w = Window.partitionBy("caption_norm")
+    g = caps.select(
+        "iid",
+        F.min("iid").over(w).alias("canon"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+    return g.select(
+        F.col("iid").cast("string").alias("image_id"),
+        F.col("canon").cast("string").alias("canonical_id"),
+        F.col("group_size").cast("long").alias("group_size"),
+        (F.col("iid") == F.col("canon")).cast("long").alias("is_canonical"),
+    )
+
+
+@register(
+    "caption_decontaminate",
+    f"""
+WITH {_CAPTIONS_SQL},
+cap_toks AS (
+  SELECT image_id,
+         list_filter({TOKS_SQL.replace("lower(text)", "lower(caption)")},
+                     t -> NOT regexp_matches(t, '{STOP_RX}')) AS L
+  FROM captions
+),
+cap_shingles AS (
+  SELECT DISTINCT image_id, L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS shingle
+  FROM (SELECT image_id, L, unnest(range(1, len(L) - 1)) AS i
+        FROM cap_toks WHERE len(L) >= {SHINGLE_N})
+),
+doc_toks AS (
+  SELECT doc_id,
+         list_filter({TOKS_SQL}, t -> NOT regexp_matches(t, '{STOP_RX}')) AS L
+  FROM documents
+),
+doc_shingles AS (
+  SELECT DISTINCT doc_id, L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS shingle
+  FROM (SELECT doc_id, L, unnest(range(1, len(L) - 1)) AS i
+        FROM doc_toks WHERE len(L) >= {SHINGLE_N})
+),
+hits AS (
+  SELECT d.doc_id, count(DISTINCT d.shingle) AS n
+  FROM doc_shingles d JOIN cap_shingles c USING (shingle)
+  WHERE c.image_id <> d.doc_id
+  GROUP BY d.doc_id
+),
+docs AS (SELECT DISTINCT doc_id FROM doc_shingles)
+SELECT t.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared,
+       CAST(COALESCE(h.n, 0) > 0 AS BIGINT) AS contaminated
+FROM docs t LEFT JOIN hits h USING (doc_id)
+""",
+)
+def caption_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal decontamination: per text document, the number of
+    distinct analyzer 3-gram shingles it shares with any OTHER image's
+    caption (a caption is by construction a prefix of its own source
+    doc, so self-matches are excluded at the join).
+
+    Scale: the caption shingle set is tiny relative to the corpus
+    (64-char captions → ≤ a handful of shingles each) — broadcast it;
+    the doc side streams through one equijoin + a partial-agg distinct
+    count per doc. No per-row Python."""
+    docs = load(spark, sf_dir, "documents")
+
+    def shingles(df, id_col, text_expr):
+        L = TX.analyzed_tokens(text_expr, CFG)
+        base = df.select(F.col(id_col), L.alias("L")).filter(
+            F.size("L") >= SHINGLE_N
+        )
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size("L") - (SHINGLE_N - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("L"), i),
+                F.element_at(F.col("L"), i + 1),
+                F.element_at(F.col("L"), i + 2),
+            ),
+        )
+        return base.select(
+            id_col, F.explode(F.array_distinct(grams)).alias("shingle")
+        )
+
+    caps = docs.filter(F.col("doc_id") < N_DOCS).select(
+        F.col("doc_id").alias("image_id"),
+        F.substring("text", 1, 64).alias("caption"),
+    )
+    cap_sh = shingles(caps, "image_id", F.col("caption")).distinct()
+    doc_sh = shingles(docs, "doc_id", F.col("text")).distinct()
+    hits = (
+        doc_sh.join(F.broadcast(cap_sh), "shingle")
+        .filter(F.col("image_id") != F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n"))
+    )
+    all_docs = doc_sh.select("doc_id").distinct()
+    return all_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_shared"),
+        (F.coalesce(F.col("n"), F.lit(0)) > 0).cast("long").alias("contaminated"),
+    )
+
+
+@register("image_dedup_clusters")  # phash is Python-side — rows-only check
+def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup image clusters: connected components over the union of
+    pixel evidence (phash banded-LSH pairs, Hamming ≤ 3) and caption
+    evidence (exact normalized-caption groups as star edges —
+    image → its group's min id; a group of size g contributes g-1
+    edges, CC-equivalent to the clique). cluster_id = min numeric
+    image id in the component = the transitive "first wins" canonical.
+
+    Scale: both edge sources are already candidate-bounded (LSH
+    buckets / caption groups); the CC loop shuffles edges once per
+    round and converges in diameter rounds — see
+    pipeline_q.connected_components."""
+    imgs = images_from_documents(spark, sf_dir)
+    phash_pairs = IM.phash_near_dups(imgs, max_hamming=3).select(
+        F.col("a_id").cast("long").alias("doc_a"),
+        F.col("b_id").cast("long").alias("doc_b"),
+    )
+    caps = imgs.select(
+        F.col("image_id").cast("long").alias("iid"),
+        _norm_caption(F.col("caption")).alias("caption_norm"),
+    )
+    mins = caps.groupBy("caption_norm").agg(F.min("iid").alias("m"))
+    cap_stars = (
+        caps.join(mins, "caption_norm")
+        .filter(F.col("iid") != F.col("m"))
+        .select(F.col("m").alias("doc_a"), F.col("iid").alias("doc_b"))
+    )
+    edges = phash_pairs.unionByName(cap_stars).distinct()
+    cc = connected_components(edges)
+    return cc.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.col("cluster_id").cast("string").alias("cluster_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("long").alias(
+            "is_canonical"
+        ),
+    )

@@ -27,6 +27,7 @@ def test_all_queries_have_oracles_or_are_documented():
         "image_validate_summary",
         "image_phash_near_dups",
         "image_resize_summary",
+        "image_dedup_clusters",
         "audio_features_summary",
         "video_frame_sample_motion",
     }
