@@ -62,6 +62,13 @@ HEADLINE = [
     "html_extract_stats",
     "baseline_merge",
     "ngrams_pruned_2to5",
+    "simhash_near_dups",
+    "dedup_clusters",
+    "sample_stratified",
+    "decontaminate_overlap",
+    "image_caption_dedup",
+    "caption_decontaminate",
+    "image_dedup_clusters",
 ]
 
 # synthetic frontier size for the throughput job (local scale; the

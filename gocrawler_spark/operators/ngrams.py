@@ -151,6 +151,63 @@ def ngrams_of_sentences(sents: DataFrame, cfg: CrawlConfig, n: int) -> DataFrame
     )
 
 
+def ngram_occurrences_all(
+    sents: DataFrame, cfg: CrawlConfig, n_min: int, n_max: int
+) -> DataFrame:
+    """One row per accepted n-gram occurrence ACROSS ALL LEVELS:
+    (n, gram). The token array and the three per-token predicate
+    arrays (border-left, border-right, ignore) are computed ONCE per
+    sentence and shared by every level — the per-level form of this
+    pipeline re-ran the scrub/extract regexes and the 200+-literal
+    border predicates n_max-1 times over the same sentences, which
+    dominated the miner's cost. All levels stay inside one
+    whole-stage-codegen projection feeding one explode."""
+    llits, lres = cfg.border_left_parts
+    rlits, rres = cfg.border_right_parts
+
+    def full_match(t, lits, res):
+        p = F.lower(t).isin(*lits)
+        if res is not None:
+            p = p | t.rlike(res)
+        return p
+
+    toks = _gram_tokens(F.col("sentence"))
+    base = sents.select(toks.alias("toks")).select(
+        "toks",
+        F.transform("toks", lambda t: full_match(t, llits, lres)).alias("bl"),
+        F.transform("toks", lambda t: full_match(t, rlits, rres)).alias("br"),
+        F.transform("toks", lambda t: t.rlike(IGNORE_TOKEN_RE)).alias("ig"),
+    )
+
+    def entries(n: int):
+        return F.when(
+            F.size(F.col("toks")) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("toks")) - n + 1),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.array_join(F.slice(F.col("toks"), i, n), " ").alias(
+                        "gram"
+                    ),
+                    (
+                        F.element_at(F.col("bl"), i)
+                        | F.element_at(F.col("br"), i + n - 1)
+                        | F.exists(F.slice(F.col("ig"), i, n), lambda x: x)
+                    ).alias("bad"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<n:int,gram:string,bad:boolean>>")
+        )
+
+    all_entries = F.concat(*[entries(n) for n in range(n_min, n_max + 1)])
+    return (
+        base.select(F.explode(all_entries).alias("e"))
+        .filter(~F.col("e.bad"))
+        .select(F.col("e.n").alias("n"), F.col("e.gram").alias("gram"))
+    )
+
+
 def ngram_level(sents: DataFrame, cfg: CrawlConfig, n: int) -> DataFrame:
     """A7: (gram, cnt) — freq >= 3, reference total order, first 101."""
     return (
@@ -172,38 +229,41 @@ def ngrams_all_levels(
     Pruning joins are broadcast nested-loop over <=101-row sides.
     """
     sents = dedup_sentences(sentences_of(docs, text_col, id_col), cfg)
-    sents = sents.cache()
-    # Each level is <=101 rows (freq>=3, rank<=101): materialize the slices
-    # once, then drop the sentence cache. The pruning joins below run over
-    # local relations, so repeated invocations in a long-lived session leave
-    # no cached blocks behind (same leak class PinSet fixes for the engine).
     spark = docs.sparkSession
-    # Materialize the sentence cache with ONE job first: the per-level
-    # branches of the union below run as concurrent stages, and on a
-    # cold cache they race — each branch recomputes the full sentence
-    # pipeline instead of hitting the blocks (measured 15.5s -> ~8s at
-    # sf0.1). One count() pays the pipeline exactly once.
-    sents.count()
-    # One collect job whose per-level aggregate branches run as
-    # CONCURRENT stages over the warm cached sentences (serial
-    # per-level collects would serialize the mining).
-    tagged = reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            ngram_level(sents, cfg, n).select(
-                F.lit(n).alias("n"), "gram", "cnt"
-            )
-            for n in range(2, n_max + 1)
-        ],
-    ).collect()
+    # ONE pass over the sentences mines every level: tokenization and
+    # the border/ignore predicate arrays are evaluated once (not once
+    # per level), and all levels' occurrences feed a single (n, gram)
+    # groupBy — one scan, one shuffle with map-side combine, instead of
+    # n_max-1 scans and shuffles. The freq>=3 survivor set is
+    # vocabulary-bounded, so it is cached and the per-level top-101
+    # slices are cheap TakeOrderedAndProject jobs over the cache (each
+    # <=101 rows; partial top-k per partition + driver merge — scales).
+    agg = (
+        ngram_occurrences_all(sents, cfg, 2, n_max)
+        .groupBy("n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 3)
+        .cache()
+    )
+    agg.count()  # materialize the survivor set with one job
     levels = {
         n: spark.createDataFrame(
-            [(r["gram"], r["cnt"]) for r in tagged if r["n"] == n],
+            [
+                (r["gram"], r["cnt"])
+                for r in agg.filter(F.col("n") == n)
+                .orderBy(F.desc("cnt"), F.desc("gram"))
+                .limit(101)
+                .collect()
+            ],
             "gram string, cnt long",
         )
         for n in range(2, n_max + 1)
     }
-    sents.unpersist()
+    # Each level is <=101 rows (freq>=3, rank<=101), materialized as
+    # local relations: the pruning joins below are broadcast NLJs over
+    # those, and unpersisting here leaves no cached blocks behind in a
+    # long-lived session (same leak class PinSet fixes for the engine).
+    agg.unpersist()
     kept = []
     for n in range(n_max, 1, -1):
         df = levels[n]
