@@ -538,6 +538,24 @@ class CrawlEngine:
             metrics={"wave": self.state.wave},
         )
 
+    def snapshot_files(self, out_dir: str, baseline=None) -> dict:
+        """S8 checkpoint file emission (crawler.go:1294-1341): write
+        ``corpusFrequencies.txt`` (all.num format, W1 total order) and —
+        when a baseline corpus frame is supplied — the A6
+        background-subtracted ``corpusNoEngFrequencies.txt``."""
+        import os
+
+        from gocrawler_spark.sinks import corpus_files as CF
+
+        if baseline is not None:
+            return CF.snapshot_corpus_files(
+                self.state.corpus_freq, baseline, out_dir
+            )
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, "corpusFrequencies.txt")
+        CF.write_freq_allnum(self.state.corpus_freq, path)
+        return {"corpusFrequencies": path}
+
     @classmethod
     def resume(cls, spark: SparkSession, cfg: CrawlConfig, checkpoint_dir: str, **kw):
         """Reconstruct an engine from the last committed snapshot.

@@ -83,3 +83,79 @@ def test_fixture_files_exist_and_have_dups():
         assert os.path.exists(p)
         words = [ln.split()[1] for ln in open(p) if ln.strip()]
         assert len(words) > len(set(words))  # dedup path is exercised
+
+
+# ------------------------------------------------- S8 snapshot file sinks
+from gocrawler_spark.sinks import corpus_files as CF
+
+
+def _freq_df(spark):
+    return spark.createDataFrame(
+        [("the", 50), ("covid", 12), ("beta", 12), ("alpha", 3)],
+        "token string, count long",
+    )
+
+
+def test_allnum_snapshot_order_and_round_trip(spark, tmp_path):
+    path = str(tmp_path / "corpusFrequencies.txt")
+    CF.write_freq_allnum(_freq_df(spark), path)
+    # W1 total order: count desc, ties token desc (crawler.go:705-718);
+    # line format "%d %s %s %d" with none/0 (crawler.go:1298)
+    assert open(path).read() == (
+        "50 the none 0\n12 covid none 0\n12 beta none 0\n3 alpha none 0\n"
+    )
+    back = CO.load_corpus_file(spark, path)
+    assert {(r["token"], r["num_total"]) for r in back.collect()} == {
+        ("the", 50), ("covid", 12), ("beta", 12), ("alpha", 3),
+    }
+
+
+def test_basic_snapshot_format_and_topk(spark, tmp_path):
+    path = str(tmp_path / "noeng.txt")
+    CF.write_freq_basic(_freq_df(spark), path, limit_k=2)
+    assert open(path).read() == "50 the\n12 covid\n"
+
+
+def test_snapshot_corpus_files_matches_reference_math(spark, tmp_path):
+    baseline = spark.createDataFrame(
+        [("the", 100), ("covid", 0), ("alpha", 4)],
+        "token string, num_total long",
+    )
+    out = CF.snapshot_corpus_files(_freq_df(spark), baseline, str(tmp_path))
+    # scale = (1+100)/50; adj = obs - int(20*(1+base)/scale)  (crawler.go:1305-1328)
+    scale = (1 + 100) / 50
+    exp = {
+        "the": 50 - int(20 * 101 / scale),
+        "covid": 12 - int(20 * 1 / scale),
+        "beta": 12 - int(20 * 1 / scale),
+        "alpha": 3 - int(20 * 5 / scale),
+    }
+    lines = [
+        ln.split() for ln in open(out["corpusNoEngFrequencies"]) if ln.strip()
+    ]
+    got = {tok: int(cnt) for cnt, tok in lines}
+    assert got == exp
+    # file is in W1 total order of the ADJUSTED counts
+    counts = [int(cnt) for cnt, _ in lines]
+    assert counts == sorted(counts, reverse=True)
+    assert open(out["corpusFrequencies"]).readline() == "50 the none 0\n"
+
+
+def test_engine_snapshot_files_match_state(spark, tmp_path):
+    """CrawlEngine.snapshot_files emits the reference's checkpoint file
+    with exactly the engine's corpus_freq state, W1-ordered."""
+    from gocrawler_spark.plans.crawl import CrawlEngine
+    from tests.test_crawl_e2e import _tp
+
+    eng = CrawlEngine(spark, _tp(wave_size=1))
+    st = eng.run(max_steps=6)
+    out = eng.snapshot_files(str(tmp_path))
+    lines = [
+        ln.split() for ln in open(out["corpusFrequencies"]) if ln.strip()
+    ]
+    got = {tok: int(cnt) for cnt, tok, _, _ in lines}
+    want = {r["token"]: r["count"] for r in st.corpus_freq.collect()}
+    assert got == want
+    pairs = [(int(cnt), tok) for cnt, tok, _, _ in lines]
+    # W1 total order: count desc, ties token desc
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], [-ord(c) for c in p[1]]))
