@@ -64,6 +64,9 @@ HEADLINE = [
     "ngrams_pruned_2to5",
     "simhash_near_dups",
     "dedup_clusters",
+    "gopher_quality_filter",
+    "oov_quality",
+    "repetition_stats",
     "sample_stratified",
     "decontaminate_overlap",
     "image_caption_dedup",

@@ -47,6 +47,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # import for registration side effects
 from gocrawler_spark.queries import crawler_q  # noqa: E402,F401
 from gocrawler_spark.queries import dedup_q  # noqa: E402,F401
+from gocrawler_spark.queries import filter_q  # noqa: E402,F401
 from gocrawler_spark.queries import html_q  # noqa: E402,F401
 from gocrawler_spark.queries import image_pipeline_q  # noqa: E402,F401
 from gocrawler_spark.queries import image_q  # noqa: E402,F401

@@ -1,0 +1,86 @@
+"""Edge-case semantics for the corpus-filtering queries (filter_q):
+crafted documents with known rule outcomes, checked on the Spark path
+AND cross-checked against the DuckDB oracle SQL on the same crafted
+table (the sf0.001 sweep runs in test_queries_oracle)."""
+
+import duckdb
+import pytest
+
+from gocrawler_spark.queries import ORACLES, QUERIES
+from gocrawler_spark.queries.compare import _rows
+
+GOOD = (
+    "The quick brown fox jumps over the lazy dog and then runs far away. "
+) * 10  # 130 words, prose-like, has the/and/that-ish stopwords
+
+DOCS = [
+    (0, GOOD, "en", "src0", len(GOOD)),
+    (1, "short doc", "en", "src0", 9),  # n_words < 50 -> drop
+    (2, "- one\n- two\n- three\n- four", "en", "src1", 26),  # all bullets
+    (3, "same line\nsame line\nsame line\nother", "en", "src1", 35),  # dup lines
+    (4, "tick tock " * 40, "en", "src2", 400),  # one dominant bigram
+    (5, "#### " * 10 + GOOD, "en", "src2", 50 + len(GOOD)),  # symbols
+]
+
+
+@pytest.fixture(scope="module")
+def crafted_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("filterq")
+    spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def _spark_vs_duck(spark, crafted_dir, name):
+    sdf = QUERIES[name](spark, crafted_dir)
+    s_rows = _rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{crafted_dir}/documents.parquet/*.parquet')"
+    )
+    res = con.execute(ORACLES[name])
+    d_rows = _rows([c[0] for c in res.description], res.fetchall())
+    con.close()
+    assert s_rows == d_rows, f"{name}: spark != duckdb on crafted docs"
+    return {r[0]: r for r in [tuple(x) for x in sdf.collect()]}
+
+
+def test_gopher_rules_on_crafted_docs(spark, crafted_dir):
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["gopher_quality_filter"](spark, crafted_dir).collect()
+    }
+    assert rows[0]["keep"] == 1  # prose passes every gate
+    assert rows[1]["keep"] == 0 and rows[1]["n_words"] == 2  # too short
+    assert rows[2]["bullet_ppm"] == 1000000  # every line is a bullet
+    assert rows[5]["symbol_ppm"] > 100000 and rows[5]["keep"] == 0
+    _spark_vs_duck(spark, crafted_dir, "gopher_quality_filter")
+
+
+def test_repetition_on_crafted_docs(spark, crafted_dir):
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["repetition_stats"](spark, crafted_dir).collect()
+    }
+    # doc 3: 4 lines, "same line" x3 -> 2 dups -> 500000 ppm
+    assert rows[3]["dup_line_ppm"] == 500000
+    # doc 4: "tick tock" x40 -> bigram "tick tock" count 40 of 79 bigrams,
+    # 80 tokens -> 2*40/80 = 1000000 ppm
+    assert rows[4]["n_tok"] == 80 and rows[4]["top_bigram_ppm"] == 1000000
+    _spark_vs_duck(spark, crafted_dir, "repetition_stats")
+
+
+def test_oov_on_crafted_docs(spark, crafted_dir):
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["oov_quality"](spark, crafted_dir).collect()
+    }
+    # "tick"/"tock" appear 40x each -> in vocab; doc 4 fully in-vocab
+    assert rows[4]["n_oov"] == 0 and rows[4]["oov_ppm"] == 0
+    assert rows[4]["mean_vocab_cnt"] == 40
+    # doc 1: "short doc" -> both tokens appear only once corpus-wide
+    assert rows[1]["n_oov"] == 2 and rows[1]["oov_ppm"] == 1000000
+    assert rows[1]["mean_vocab_cnt"] == 0
+    _spark_vs_duck(spark, crafted_dir, "oov_quality")
