@@ -199,7 +199,10 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     equijoin on (band, bucket) downstream. Scale: minhash is a
     map-side agg per (doc, perm); the bucket join replaces the O(n²)
     pair space."""
-    ds = _doc_shingles(spark, sf_dir)
+    return _bands_from(spark, _doc_shingles(spark, sf_dir))
+
+
+def _bands_from(spark: SparkSession, ds: DataFrame) -> DataFrame:
     perms = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("perm"))
     hashed = (
         ds.crossJoin(F.broadcast(perms))
@@ -595,7 +598,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is candidate-sized). Scale: band buckets bound the join fanout
     (docs per bucket), and the verify stage is proportional to true
     near-dups + LSH false positives, not to corpus size."""
-    bands = minhash_bands(spark, sf_dir)
+    # The shingle relation feeds FOUR consumers (minhash banding, doc
+    # sizes, and both sides of the verify join) — materialize it once
+    # (blocks are freed by the ContextCleaner when the RDD is GC'd).
+    # At 100 TB you'd write it to a temp table instead of executor
+    # memory; the dataflow is unchanged.
+    ds = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
+    bands = _bands_from(spark, ds)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, ["band", "bucket"])
@@ -605,7 +614,6 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ds = _doc_shingles(spark, sf_dir)
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
     # exact-Jaccard verify restricted to LSH candidates: expand each
     # candidate pair by doc_a's shingles, then probe doc_b's shingles —

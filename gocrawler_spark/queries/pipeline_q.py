@@ -50,28 +50,53 @@ from gocrawler_spark.queries.dedup_q import SHINGLE_N
 _CC_MAX_ITERS = 30
 
 
-def connected_components(pairs: DataFrame) -> DataFrame:
-    """Min-label propagation over an undirected edge list
-    ``(doc_a, doc_b)`` to a fixed point; returns ``(doc_id,
-    cluster_id)`` for every node that appears in an edge, cluster_id =
-    min node id in the component.
+def connected_components(
+    pairs: DataFrame, local_max_edges: int = 5_000_000
+) -> DataFrame:
+    """Connected components over an undirected edge list
+    ``(doc_a, doc_b)``; returns ``(doc_id, cluster_id)`` for every
+    node that appears in an edge, cluster_id = min node id in the
+    component.
 
-    Per round: one shuffle (labels -> edges join on src) + a
-    partial-agg min per dst; ``localCheckpoint`` truncates the loop's
-    lineage so the plan doesn't grow with iterations. Rounds are
-    bounded by the component diameter — near-dup components are
-    shallow, so this converges in a handful of rounds; for
-    adversarially long chains switch to large-star/small-star
-    (O(log n) rounds, identical output). Nothing gathers to the
-    driver beyond the 1-row convergence probe."""
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
-        )
+    Hybrid by measured edge count — the defining property of a
+    near-dup pair graph is that it is orders of magnitude smaller
+    than the corpus that produced it (pairs are candidate-bounded by
+    LSH buckets / signature groups), so:
+
+    - ``<= local_max_edges`` (default 5M ≈ ~80 MB of longs): one
+      executor task runs union-find with path compression over the
+      whole edge list via ``applyInPandas`` — O(E α(E)), one job, no
+      iteration. This is not a driver collect; the work runs on an
+      executor and only (doc_id, cluster_id) rows come back.
+    - above the threshold: distributed min-label propagation to a
+      fixed point — per round one shuffle (labels -> edges join on
+      src) + a partial-agg min per dst, ``localCheckpoint``
+      truncating the loop's lineage, rounds bounded by component
+      diameter. Nothing gathers to the driver beyond the 1-row
+      convergence probe.
+
+    Both paths emit identical labels (min id per component).
+    """
+    # dedup at the PAIR level (half the rows), then symmetrize — the
+    # (a<b) + swapped copies are distinct by construction, so no second
+    # distinct over the doubled set is needed
+    p = (
+        pairs.select("doc_a", "doc_b")
         .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if p.count() <= local_max_edges:
+        return _cc_union_find_single_task(p)
+
+    edges = (
+        p.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        # hash-partition on the join key ONCE: every round's
+        # labels->edges join then reuses this layout and only the
+        # (smaller) label frame moves per round
+        .repartition(F.col("src"))
         .localCheckpoint(eager=True)
     )
     labels = (
@@ -86,6 +111,9 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("comp").alias("nbr_min"))
         )
+        # lazy checkpoint: the convergence probe below materializes it,
+        # so each round costs ONE job, and the probe's aggregation is a
+        # 1-row boolean (nothing gathers to the driver)
         nxt = (
             labels.join(prop, "doc_id", "left")
             .select(
@@ -95,13 +123,50 @@ def connected_components(pairs: DataFrame) -> DataFrame:
                 ).alias("comp"),
                 (F.col("nbr_min") < F.col("comp")).alias("_moved"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         moved = nxt.filter(F.col("_moved")).limit(1).count()
         labels = nxt.drop("_moved")
         if moved == 0:
             break
     return labels.select("doc_id", F.col("comp").alias("cluster_id"))
+
+
+def _cc_union_find_single_task(p: DataFrame) -> DataFrame:
+    """Union-find over the whole (deduped) edge list in ONE executor
+    task: union by min id + path compression, so the root of every
+    set is its minimum member and lookups are near-O(1) amortized."""
+
+    def uf(pdf):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+            a, b = int(a), int(b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # min-id root
+        import pandas as pd
+
+        nodes = list(parent)
+        return pd.DataFrame(
+            {"doc_id": nodes, "cluster_id": [find(x) for x in nodes]}
+        )
+
+    return (
+        p.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(uf, "doc_id long, cluster_id long")
+    )
 
 
 def _edge_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,16 +223,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Jaccard pairs + P5 signature stars); cluster_id = min doc_id in
     the component = the transitive "first wins" canonical doc.
 
-    Spark path: min-label propagation to a fixed point — per round one
-    shuffle (join labels->edges on src) + one partial-agg min per dst,
-    with ``localCheckpoint`` truncating the loop's lineage. Rounds are
-    bounded by the component diameter; near-dup components are
-    shallow (dup clusters, not social graphs), so this converges in a
-    handful of rounds. At 1000-executor scale the same loop holds —
-    edges shuffle once per round on src and nothing ever gathers to
-    the driver; for adversarially long chains switch the body to
-    large-star/small-star (alternating min-joins), which converges in
-    O(log n) rounds with identical output."""
+    Spark path: the measured-size hybrid in connected_components —
+    single-task union-find for pair graphs under the edge threshold
+    (the common case: near-dup pairs are candidate-bounded, orders of
+    magnitude smaller than the corpus), distributed min-label
+    propagation above it (one labels->edges shuffle per round,
+    lineage-truncated, rounds bounded by component diameter; nothing
+    gathers to the driver on either path). Both paths emit identical
+    min-id labels — asserted in tests/test_pipeline.py."""
     out = connected_components(_edge_frames(spark, sf_dir))
     return out.select(
         "doc_id",

@@ -102,3 +102,29 @@ def test_decontaminate_flags_are_consistent(spark):
         .collect()
     }
     assert bench_ids.isdisjoint({r["doc_id"] for r in rows})
+
+
+def test_cc_hybrid_paths_identical(spark):
+    """The single-task union-find path and the distributed min-label
+    loop emit identical (doc_id, cluster_id) labels."""
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(200))
+    pairs = [
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+        )
+        if a != b
+    ] + [(i, i + 1) for i in range(20)]  # a 21-node chain (deep component)
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    uf = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df).collect()  # union-find path
+    }
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df, local_max_edges=0).collect()
+    }
+    assert uf == dist and len(uf) > 0
