@@ -102,16 +102,20 @@ def _gram_tokens(sentence) -> "F.Column":
     return F.regexp_extract_all(scrubbed, F.lit(GRAM_TOKEN_RE), F.lit(1))
 
 
-def ngrams_of_sentences(sents: DataFrame, cfg: CrawlConfig, n: int) -> DataFrame:
-    """One row per accepted n-gram occurrence: (gram).
+def prepare_grams(sents: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """(toks, bl, br, ig): the gram token array plus the three
+    per-token predicate arrays (border-left, border-right, ignore)
+    every mining level consumes.
 
-    Physical shape: the border/ignore predicates are evaluated ONCE PER
-    TOKEN (three boolean arrays per sentence) instead of once per gram
-    — a token participates in up to n overlapping grams, so the naive
-    per-gram form multiplies every regex by n. Border matches use the
-    decomposed literal-InSet + small-residual-regex predicates
-    (cfg.border_*_parts) rather than the 200+-way alternation.
-    Everything stays in one whole-stage-codegen projection."""
+    The border/ignore predicates are evaluated ONCE PER TOKEN instead
+    of once per gram — a token participates in up to n overlapping
+    grams, so the per-gram form multiplies every regex by n. Border
+    matches use the decomposed literal-InSet + small-residual-regex
+    predicates (cfg.border_*_parts) rather than the 200+-way
+    alternation. Callers that mine several levels should materialize
+    this relation (localCheckpoint / a table): the predicate
+    projection is by far the most expensive codegen in the miner, and
+    per-level plans over the prepared arrays are trivial."""
     llits, lres = cfg.border_left_parts
     rlits, rres = cfg.border_right_parts
 
@@ -122,7 +126,7 @@ def ngrams_of_sentences(sents: DataFrame, cfg: CrawlConfig, n: int) -> DataFrame
         return p
 
     toks = _gram_tokens(F.col("sentence"))
-    base = sents.select(
+    return sents.select(
         toks.alias("toks"),
     ).select(
         "toks",
@@ -130,6 +134,12 @@ def ngrams_of_sentences(sents: DataFrame, cfg: CrawlConfig, n: int) -> DataFrame
         F.transform("toks", lambda t: full_match(t, rlits, rres)).alias("br"),
         F.transform("toks", lambda t: t.rlike(IGNORE_TOKEN_RE)).alias("ig"),
     )
+
+
+def grams_from_prepared(prepared: DataFrame, n: int) -> DataFrame:
+    """One row per accepted n-gram occurrence (gram) from a
+    prepare_grams relation — pure array slicing over the precomputed
+    predicate arrays; no regex work left in this plan."""
     entries = F.when(
         F.size(F.col("toks")) >= n,
         F.transform(
@@ -145,73 +155,27 @@ def ngrams_of_sentences(sents: DataFrame, cfg: CrawlConfig, n: int) -> DataFrame
         ),
     ).otherwise(F.array().cast("array<struct<gram:string,bad:boolean>>"))
     return (
-        base.select(F.explode(entries).alias("e"))
+        prepared.select(F.explode(entries).alias("e"))
         .filter(~F.col("e.bad"))
         .select(F.col("e.gram").alias("gram"))
     )
 
 
-def ngram_occurrences_all(
-    sents: DataFrame, cfg: CrawlConfig, n_min: int, n_max: int
-) -> DataFrame:
-    """One row per accepted n-gram occurrence ACROSS ALL LEVELS:
-    (n, gram). The token array and the three per-token predicate
-    arrays (border-left, border-right, ignore) are computed ONCE per
-    sentence and shared by every level — the per-level form of this
-    pipeline re-ran the scrub/extract regexes and the 200+-literal
-    border predicates n_max-1 times over the same sentences, which
-    dominated the miner's cost. All levels stay inside one
-    whole-stage-codegen projection feeding one explode."""
-    llits, lres = cfg.border_left_parts
-    rlits, rres = cfg.border_right_parts
-
-    def full_match(t, lits, res):
-        p = F.lower(t).isin(*lits)
-        if res is not None:
-            p = p | t.rlike(res)
-        return p
-
-    toks = _gram_tokens(F.col("sentence"))
-    base = sents.select(toks.alias("toks")).select(
-        "toks",
-        F.transform("toks", lambda t: full_match(t, llits, lres)).alias("bl"),
-        F.transform("toks", lambda t: full_match(t, rlits, rres)).alias("br"),
-        F.transform("toks", lambda t: t.rlike(IGNORE_TOKEN_RE)).alias("ig"),
-    )
-
-    def entries(n: int):
-        return F.when(
-            F.size(F.col("toks")) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(F.col("toks")) - n + 1),
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    F.array_join(F.slice(F.col("toks"), i, n), " ").alias(
-                        "gram"
-                    ),
-                    (
-                        F.element_at(F.col("bl"), i)
-                        | F.element_at(F.col("br"), i + n - 1)
-                        | F.exists(F.slice(F.col("ig"), i, n), lambda x: x)
-                    ).alias("bad"),
-                ),
-            ),
-        ).otherwise(
-            F.array().cast("array<struct<n:int,gram:string,bad:boolean>>")
-        )
-
-    all_entries = F.concat(*[entries(n) for n in range(n_min, n_max + 1)])
-    return (
-        base.select(F.explode(all_entries).alias("e"))
-        .filter(~F.col("e.bad"))
-        .select(F.col("e.n").alias("n"), F.col("e.gram").alias("gram"))
-    )
+def ngrams_of_sentences(sents: DataFrame, cfg: CrawlConfig, n: int) -> DataFrame:
+    """One row per accepted n-gram occurrence: (gram)."""
+    return grams_from_prepared(prepare_grams(sents, cfg), n)
 
 
 def ngram_level(sents: DataFrame, cfg: CrawlConfig, n: int) -> DataFrame:
     """A7: (gram, cnt) — freq >= 3, reference total order, first 101."""
+    return level_from_prepared(prepare_grams(sents, cfg), n)
+
+
+def level_from_prepared(prepared: DataFrame, n: int) -> DataFrame:
+    """A7 over a prepare_grams relation: one map-side-combined groupBy
+    + TakeOrderedAndProject for the 101-row reference cap."""
     return (
-        ngrams_of_sentences(sents, cfg, n)
+        grams_from_prepared(prepared, n)
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= 3)
@@ -223,37 +187,37 @@ def ngram_level(sents: DataFrame, cfg: CrawlConfig, n: int) -> DataFrame:
 def ngrams_all_levels(
     docs: DataFrame, cfg: CrawlConfig, n_max: int = 4,
     text_col: str = "text", id_col: str = "doc_id",
+    prepared: DataFrame | None = None,
 ) -> DataFrame:
     """W4: mine levels n_max..2, prune, return (n, gram, cnt).
 
     Pruning joins are broadcast nested-loop over <=101-row sides.
+    ``prepared`` lets the caller supply an already-materialized
+    prepare_grams relation (e.g. shared by several mining jobs — see
+    ngram_q); by default it is derived from ``docs`` and checkpointed
+    here, because every level below re-reads it and the sentence
+    pipeline + border-predicate projection is the expensive prefix.
     """
-    sents = dedup_sentences(sentences_of(docs, text_col, id_col), cfg)
+    if prepared is None:
+        sents = dedup_sentences(sentences_of(docs, text_col, id_col), cfg)
+        # spread the (AQE-coalesced) post-dedup relation across cores
+        # before the expensive predicate projection + level scans
+        sents = sents.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        prepared = prepare_grams(sents, cfg).localCheckpoint(eager=True)
     spark = docs.sparkSession
-    # ONE pass over the sentences mines every level: tokenization and
-    # the border/ignore predicate arrays are evaluated once (not once
-    # per level), and all levels' occurrences feed a single (n, gram)
-    # groupBy — one scan, one shuffle with map-side combine, instead of
-    # n_max-1 scans and shuffles. The freq>=3 survivor set is
-    # vocabulary-bounded, so it is cached and the per-level top-101
-    # slices are cheap TakeOrderedAndProject jobs over the cache (each
-    # <=101 rows; partial top-k per partition + driver merge — scales).
-    agg = (
-        ngram_occurrences_all(sents, cfg, 2, n_max)
-        .groupBy("n", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= 3)
-        .cache()
-    )
-    agg.count()  # materialize the survivor set with one job
+    # Per-level mining over the MATERIALIZED prepared relation: each
+    # level is one scan of the (small, post-dedup) array relation + one
+    # map-side-combined groupBy + TakeOrderedAndProject for the <=101
+    # slice — no regex or stopword-InSet work left per level, so the
+    # per-level codegen is tiny. Measured faster than fusing all levels
+    # into one scan (the fused form builds a concat of every level's
+    # gram array per row — a much wider projection — to save scans that
+    # are cheap once the relation is materialized).
     levels = {
         n: spark.createDataFrame(
             [
                 (r["gram"], r["cnt"])
-                for r in agg.filter(F.col("n") == n)
-                .orderBy(F.desc("cnt"), F.desc("gram"))
-                .limit(101)
-                .collect()
+                for r in level_from_prepared(prepared, n).collect()
             ],
             "gram string, cnt long",
         )
@@ -261,9 +225,7 @@ def ngrams_all_levels(
     }
     # Each level is <=101 rows (freq>=3, rank<=101), materialized as
     # local relations: the pruning joins below are broadcast NLJs over
-    # those, and unpersisting here leaves no cached blocks behind in a
-    # long-lived session (same leak class PinSet fixes for the engine).
-    agg.unpersist()
+    # those, leaving no cached blocks behind in a long-lived session.
     kept = []
     for n in range(n_max, 1, -1):
         df = levels[n]

