@@ -67,6 +67,7 @@ HEADLINE = [
     "gopher_quality_filter",
     "oov_quality",
     "repetition_stats",
+    "curation_verdict",
     "sample_stratified",
     "decontaminate_overlap",
     "image_caption_dedup",

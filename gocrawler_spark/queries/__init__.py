@@ -48,6 +48,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 from gocrawler_spark.queries import crawler_q  # noqa: E402,F401
 from gocrawler_spark.queries import dedup_q  # noqa: E402,F401
 from gocrawler_spark.queries import filter_q  # noqa: E402,F401
+from gocrawler_spark.queries import funnel_q  # noqa: E402,F401
 from gocrawler_spark.queries import html_q  # noqa: E402,F401
 from gocrawler_spark.queries import image_pipeline_q  # noqa: E402,F401
 from gocrawler_spark.queries import image_q  # noqa: E402,F401

@@ -31,7 +31,7 @@ _LINES_SQL = (
     " x -> x <> '')"
 )
 
-_STOP8 = ("the", "be", "to", "of", "and", "that", "have", "with")
+_STOP8 = ("the", "a", "and", "to", "of", "in", "is", "that")
 
 
 def _words(col):

@@ -84,3 +84,26 @@ def test_oov_on_crafted_docs(spark, crafted_dir):
     assert rows[1]["n_oov"] == 2 and rows[1]["oov_ppm"] == 1000000
     assert rows[1]["mean_vocab_cnt"] == 0
     _spark_vs_duck(spark, crafted_dir, "oov_quality")
+
+
+def test_curation_verdict_consistency(spark):
+    """keep=1 iff every gate passes; drop_reason is the first failing
+    gate and empty exactly for keepers."""
+    rows = QUERIES["curation_verdict"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    order = [
+        ("is_benchmark", "benchmark"),
+        ("is_exact_dup", "exact_dup"),
+        ("is_near_dup", "near_dup"),
+        ("contaminated", "contaminated"),
+        ("low_quality", "low_quality"),
+    ]
+    for r in rows:
+        flags = [r[c] for c, _ in order]
+        assert r["keep"] == int(not any(flags))
+        want = next((name for (c, name), f in zip(order, flags) if f), "")
+        assert r["drop_reason"] == want
+    # the funnel is non-trivial on the test data: some kept, some of
+    # each early drop reason present
+    reasons = {r["drop_reason"] for r in rows}
+    assert "" in reasons and "benchmark" in reasons
