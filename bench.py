@@ -68,6 +68,14 @@ HEADLINE = [
     "oov_quality",
     "repetition_stats",
     "curation_verdict",
+    "doc_token_stats",
+    "stopword_ratio_band",
+    "url_validate",
+    "lang_id_heuristic",
+    "quality_score",
+    "token_count_bpe",
+    "events_top_purchasers",
+    "crawl_frontier_5waves",
     "sample_stratified",
     "decontaminate_overlap",
     "image_caption_dedup",
@@ -232,23 +240,35 @@ def bloom_throughput(spark) -> dict:
 
     n = min(FRONTIER_ROWS, 2_000_000)
     shards = 64
-    urls = synthetic_frontier(spark, n).select("url")
-    t0 = time.time()
-    bf = B.build(
-        urls, n_shards=shards, expected_keys_per_shard=n // shards, fpr=1e-6
-    ).cache()
-    bf.count()
-    t_build = time.time() - t0
+    urls = synthetic_frontier(spark, n).select("url").localCheckpoint(eager=True)
+    # min-of-3, same noise-robust protocol as the frontier segment
+    # (this sandbox shows one-sided multi-second stalls; min estimates
+    # the intrinsic cost)
+    t_build = None
+    for _ in range(3):
+        t0 = time.time()
+        bf = B.build(
+            urls, n_shards=shards, expected_keys_per_shard=n // shards, fpr=1e-6
+        ).cache()
+        bf.count()
+        dt = time.time() - t0
+        t_build = dt if t_build is None or dt < t_build else t_build
+        if _ < 2:
+            bf.unpersist()
     cand = urls.limit(n // 2).unionByName(
         spark.range(n // 2).select(
             F.concat(F.lit("https://new"), F.col("id").cast("string"),
                      F.lit(".example/x")).alias("url")
         )
-    )
-    t0 = time.time()
-    res = B.probe(bf, cand, n_shards=shards)
-    n_seen = res.filter(F.col("maybe_seen")).count()
-    t_probe = time.time() - t0
+    ).localCheckpoint(eager=True)
+    t_probe = None
+    n_seen = 0
+    for _ in range(3):
+        t0 = time.time()
+        res = B.probe(bf, cand, n_shards=shards)
+        n_seen = res.filter(F.col("maybe_seen")).count()
+        dt = time.time() - t0
+        t_probe = dt if t_probe is None or dt < t_probe else t_probe
     return {
         "keys": n,
         "build_sec": round(t_build, 3),

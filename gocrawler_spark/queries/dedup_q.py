@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gocrawler_spark.queries import load, register
+from gocrawler_spark.queries import load, memo_result, register
 from gocrawler_spark.queries.crawler_q import CFG, STOP_RX, TOKS_SQL
 from gocrawler_spark.functions import text as TX
 
@@ -133,6 +133,7 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.03
 """,
 )
+@memo_result
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard near-dup pairs via the shared-shingle equijoin.
     Scale: the join shuffles on the shingle; skew control is the

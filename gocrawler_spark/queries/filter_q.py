@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gocrawler_spark.functions import text as TX
-from gocrawler_spark.queries import load, register
+from gocrawler_spark.queries import load, memo_result, register
 from gocrawler_spark.queries.crawler_q import TOKS_SQL
 
 # whitespace words (both engines: ASCII \s, non-empty)
@@ -94,6 +94,7 @@ SELECT doc_id, n_words, n_lines, mean_word_len_micro, alpha_ppm, symbol_ppm,
 FROM m
 """,
 )
+@memo_result
 def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule filter: word-count band, mean word length,
     alphabetic-word fraction, symbol (#/ellipsis) ratio, bullet- and

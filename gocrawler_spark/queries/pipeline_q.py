@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gocrawler_spark.functions import text as TX
-from gocrawler_spark.queries import ORACLES, QUERIES, load, register
+from gocrawler_spark.queries import ORACLES, QUERIES, load, memo_result, register
 from gocrawler_spark.queries.crawler_q import (
     CFG,
     STOP_RX,
@@ -218,6 +218,7 @@ SELECT l.doc_id, l.cluster_id,
 FROM labels l
 """,
 )
+@memo_result
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup evidence graph
     (Jaccard pairs + P5 signature stars); cluster_id = min doc_id in
@@ -324,6 +325,7 @@ SELECT t.doc_id,
 FROM tdocs t LEFT JOIN hits h USING (doc_id)
 """,
 )
+@memo_result
 def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per training doc (source != bench),
     the number of distinct analyzer shingles it shares with the
