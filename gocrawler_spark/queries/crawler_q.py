@@ -19,7 +19,7 @@ from gocrawler_spark.config import REGEX_URL_VALID, covid_profile
 from gocrawler_spark.functions import text as TX
 from gocrawler_spark.functions import urls as U
 from gocrawler_spark.operators import corpus as CO
-from gocrawler_spark.queries import load, register
+from gocrawler_spark.queries import load, memo_result, register
 
 # documents-table vocabulary keywords (the covid list never matches the
 # synthetic docs; same scoring semantics, corpus-appropriate keywords)
@@ -53,6 +53,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "documents")
 
 
+@memo_result
+def _en_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency over en docs (token, count) — the shared,
+    vocab-bounded relation behind corpus_freq_top100 and
+    background_subtract; materialized once per session (memo_result)."""
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == "en")
+    return CO.token_freq(docs, CFG, text_col="text")
+
+
 def _an_toks(docs: DataFrame) -> DataFrame:
     return docs.filter(F.col("lang") == "en").withColumn(
         "_toks", TX.analyzed_tokens(F.col("text"), CFG)
@@ -75,8 +84,7 @@ def corpus_freq_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2+W1+W2: corpus term frequency, reference total order, top-100
     (crawler.go:1282,1289-1293). One shuffle (map-side combine), then
     TakeOrderedAndProject."""
-    docs = _docs(spark, sf_dir).filter(F.col("lang") == "en")
-    freq = CO.token_freq(docs, CFG, text_col="text")
+    freq = _en_token_freq(spark, sf_dir)
     return CO.top_k(freq.withColumnRenamed("count", "cnt").select("token", "cnt"), 100)
 
 
@@ -120,7 +128,11 @@ FROM ranked WHERE rn <= 7 GROUP BY doc_id
 """
 
 
+@memo_result
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 doc signatures (doc_id, signature) — one row per en doc;
+    shared by doc_signature, signature_dedup, and the cluster star
+    edges; materialized once per session (memo_result)."""
     docs = _an_toks(_docs(spark, sf_dir)).filter(F.size("_toks") > 0)
     tc = F.transform(
         F.array_distinct(F.col("_toks")),
@@ -275,9 +287,7 @@ def background_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed top-1; formula identical). Baseline = non-English docs.
     Broadcast join + scalar anchor."""
     docs = _docs(spark, sf_dir)
-    corpus = CO.token_freq(docs.filter(F.col("lang") == "en"), CFG, "text").withColumnRenamed(
-        "count", "cnt"
-    )
+    corpus = _en_token_freq(spark, sf_dir).withColumnRenamed("count", "cnt")
     baseline = CO.token_freq(docs.filter(F.col("lang") != "en"), CFG, "text").withColumnRenamed(
         "count", "num_total"
     )
