@@ -76,6 +76,7 @@ HEADLINE = [
     "token_count_bpe",
     "events_top_purchasers",
     "crawl_frontier_5waves",
+    "bpe_token_stats",
     "sample_stratified",
     "decontaminate_overlap",
     "image_caption_dedup",

@@ -150,3 +150,44 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg((F.sum("t") % FP_MOD).alias("fingerprint"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Real BPE token accounting (operators/bpe.py): corpus-trained merges +
+# distributed encode. Not SQL-expressible (iterative merge training) ->
+# rows-only driver check; correctness is pinned by tests/test_bpe.py
+# (hand-computed merges, python-oracle doc stats, determinism).
+_BPE_MERGES_MEMO: dict = {}
+_BPE_N_MERGES = 200
+_BPE_MAX_TYPES = 20_000
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str):
+    from gocrawler_spark.operators import bpe as BPE
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    m = _BPE_MERGES_MEMO.get(key)
+    if m is None:
+        m = BPE.train_bpe(
+            load(spark, sf_dir, "documents"),
+            n_merges=_BPE_N_MERGES,
+            max_types=_BPE_MAX_TYPES,
+        )
+        _BPE_MERGES_MEMO[key] = m
+    return m
+
+
+@register("bpe_token_stats")
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token accounting under a real corpus-trained BPE
+    tokenizer ({n} merges over the top-{v} word types): word count,
+    BPE token count, characters inside words. Training input is the
+    word-count TABLE (distributed groupBy; the type table is tiny at
+    any corpus size); encoding is one broadcast + Arrow scan with a
+    per-batch word cache. See operators/bpe.py.""".format(
+        n=_BPE_N_MERGES, v=_BPE_MAX_TYPES
+    )
+    from gocrawler_spark.operators import bpe as BPE
+
+    docs = load(spark, sf_dir, "documents")
+    return BPE.bpe_doc_stats(docs, _bpe_merges(spark, sf_dir))

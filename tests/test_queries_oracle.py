@@ -29,6 +29,9 @@ def test_all_queries_have_oracles_or_are_documented():
         "image_resize_summary",
         "image_dedup_clusters",
         "audio_features_summary",
+        # iterative BPE merge training is not SQL-expressible; covered
+        # by tests/test_bpe.py (hand-checked merges + python oracle)
+        "bpe_token_stats",
         "video_frame_sample_motion",
     }
     assert missing == allowed_missing
