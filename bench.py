@@ -77,6 +77,7 @@ HEADLINE = [
     "events_top_purchasers",
     "crawl_frontier_5waves",
     "bpe_token_stats",
+    "embedding_dedup_clusters",
     "sample_stratified",
     "decontaminate_overlap",
     "image_caption_dedup",

@@ -62,6 +62,7 @@ def memo_result(fn):
 
     wrapped.__name__ = fn.__name__
     wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn  # plan tests inspect the unmaterialized plan
     return wrapped
 
 

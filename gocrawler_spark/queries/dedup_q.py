@@ -713,6 +713,7 @@ SELECT vec_a, vec_b, cos_micro FROM cos
 WHERE cos_micro >= {_COS_THRESHOLD_MICRO}
 """,
 )
+@memo_result
 def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-bucketed: candidate pairs
     come from the 8-plane random-hyperplane bucket equijoin (same

@@ -372,3 +372,54 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contaminated"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_dedup_clusters",
+    f"""
+WITH RECURSIVE
+ep AS (SELECT vec_a AS doc_a, vec_b AS doc_b
+       FROM ({ORACLES['embedding_cosine_near_dups']}) e),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM ep
+  UNION SELECT doc_b, doc_a FROM ep
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, comp) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+labels AS (
+  SELECT doc_id, min(comp) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT l.doc_id AS vec_id, l.cluster_id,
+       count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+       CAST(l.doc_id = l.cluster_id AS BIGINT) AS is_canonical
+FROM labels l
+""",
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: connected components over the
+    LSH-bucketed embedding-cosine near-dup pairs; cluster_id = min
+    vec_id (the transitive "first wins" canonical), cluster_size and
+    an is_canonical flag per vector.
+
+    Scale: pairs are bucket-bounded (embedding_cosine_near_dups) and
+    the component pass is the measured-size hybrid CC
+    (connected_components) — the embedding twin of dedup_clusters."""
+    pairs = QUERIES["embedding_cosine_near_dups"](spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("long").alias(
+            "is_canonical"
+        ),
+    )

@@ -50,7 +50,16 @@ def test_tpch_q5_broadcasts_dims(spark):
 
 
 def test_corpus_freq_pushdown_and_pruning(spark):
-    plan = _plan(spark, "corpus_freq_top100")
+    # the token-frequency relation is session-materialized (memo_result)
+    # — assert the properties on the plan that BUILDS it
+    from gocrawler_spark.queries.crawler_q import _en_token_freq
+
+    plan = (
+        _en_token_freq.__wrapped__(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert any("lang" in p and "en" in p for p in _pushed(plan)), plan
     # reads only (lang, text) — never url/doc_id/etc.
     schemas = _read_schemas(plan)
@@ -69,3 +78,29 @@ def test_narrow_scans(spark, name):
     plan = _plan(spark, name)
     for s in _read_schemas(plan):
         assert len(s.split(",")) <= 4, (name, s)
+
+
+def test_gopher_filter_is_scan_only(spark):
+    """The quality gate is one codegen projection over the scan — no
+    shuffle, no join, no Python."""
+    # memoized: inspect the building plan
+    from gocrawler_spark.queries.filter_q import gopher_quality_filter
+    plan = (
+        gopher_quality_filter.__wrapped__(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, f"{bad} in gopher plan"
+
+
+def test_oov_vocab_broadcasts(spark):
+    plan = _plan(spark, "oov_quality")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_no_cartesian_and_narrow_scan(spark):
+    plan = _plan(spark, "repetition_stats")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    for s in _read_schemas(plan):
+        assert len(s.split(",")) <= 2, s
