@@ -348,61 +348,75 @@ def main_frontier_only(cpus: int):
     spark.stop()
 
 
-def main_scaling(levels=(8, 32)):
-    """Run the identical frontier job at two parallelism levels in
-    fresh JVMs; report throughputs + scaling efficiency (north_rule:
-    two-cluster-size criterion evidenced by two parallelism levels,
-    N and 4N cores)."""
+def main_scaling(levels=(8, 32), reps=2):
+    """Run the identical frontier job at two parallelism levels
+    (north_rule two-cluster-size criterion: N and 4N cores).
+
+    Noise protocol (see BENCH/BASELINE.md): levels are interleaved
+    A/B/A/B across `reps` fresh JVMs per level; each JVM itself times
+    5 runs after a warmup and reports the MIN; the level's throughput
+    is the best JVM's. Results are spliced between the RESULTS markers
+    of BENCH/BASELINE.md (the surrounding protocol/caveat prose is
+    kept); if the file or markers are missing, a minimal doc is
+    written."""
     lo, hi = levels
-    results = {}
-    for cpus in (lo, hi):
-        p = subprocess.run(
-            [sys.executable, __file__, "--frontier-only", str(cpus)],
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-    t_lo = results[lo]["urls_per_sec"]
-    t_hi = results[hi]["urls_per_sec"]
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(reps):
+        for cpus in (lo, hi):  # interleaved to cancel machine drift
+            p = subprocess.run(
+                [sys.executable, __file__, "--frontier-only", str(cpus)],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            line = [
+                l for l in p.stdout.strip().splitlines() if l.startswith("{")
+            ][-1]
+            runs[cpus].append(json.loads(line))
+    best = {c: max(rs, key=lambda r: r["urls_per_sec"]) for c, rs in runs.items()}
+    t_lo, t_hi = best[lo]["urls_per_sec"], best[hi]["urls_per_sec"]
     eff = (t_hi / t_lo) / (hi / lo)
     report = {
         "job": "frontier schedule+dedup (see bench.py frontier_throughput)",
-        "rows": results[lo]["rows"],
+        "rows": best[lo]["rows"],
         f"local{lo}_urls_per_sec": t_lo,
         f"local{hi}_urls_per_sec": t_hi,
         f"speedup_{lo}_to_{hi}": round(t_hi / t_lo, 3),
         "scaling_efficiency": round(eff, 3),
+        "protocol": f"interleaved A/B, {reps} JVMs per level, min-of-5 per JVM",
     }
     print(json.dumps(report))
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(
-            "# BENCH — frontier throughput + scaling efficiency\n\n"
-            "Same job (schedule wave of 100k URLs from a "
-            f"{results[lo]['rows']:,}-row synthetic frontier + dedup-merge "
-            f"{results[lo]['cand_rows']:,} candidate links), identical input, "
-            "two parallelism levels (north_rule two-cluster-size criterion, "
-            f"N and 4N cores, evidenced as local[{lo}] vs local[{hi}] in "
-            "this sandbox):\n\n"
-            "| parallelism | wall sec | URLs/sec |\n|---|---|---|\n"
-            f"| local[{lo}] | {results[lo]['sec']} | {t_lo:,} |\n"
-            f"| local[{hi}] | {results[hi]['sec']} | {t_hi:,} |\n\n"
-            f"- speedup {lo}→{hi} cores (4x): **{round(t_hi / t_lo, 3)}x**\n"
-            f"- scaling efficiency (speedup / 4): **{round(eff, 3)}**"
-            " (target >= 0.8)\n\n"
-            "Physical design measured here: the frontier is read from a "
-            "domain-bucketed, (domain,url)-sorted table "
-            "(gocrawler_spark/plans/bucketed.py) — the per-host scheduling "
-            "window runs with no Exchange, and the dedup-merge joins scan "
-            "the frontier co-located (zero frontier shuffle; only "
-            "wave-sized data moves). On a real 4x-larger cluster every "
-            "resource (memory bandwidth, page cache, disk) scales with the "
-            "cores; on this single 32-core box they are shared, so the "
-            "in-sandbox ratio is a LOWER BOUND on cluster scaling "
-            "efficiency.\n"
+
+    def fmt_runs(rs):
+        return " / ".join(
+            ", ".join(str(round(s, 1)) for s in r["runs_sec"]) for r in rs
         )
+
+    block = (
+        f"## Results ({__import__('datetime').date.today()}, interleaved A/B, "
+        f"{best[lo]['rows']:,}-row frontier)\n\n"
+        "| parallelism | min wall sec | URLs/sec | all timed runs (sec) |\n"
+        "|---|---|---|---|\n"
+        f"| local[{lo}]  | {best[lo]['sec']} | {t_lo:,} | {fmt_runs(runs[lo])} |\n"
+        f"| local[{hi}] |  {best[hi]['sec']} | {t_hi:,} | {fmt_runs(runs[hi])} |\n\n"
+        f"- speedup {lo} \u2192 {hi} cores ({hi // lo}\u00d7 cores): "
+        f"**{round(t_hi / t_lo, 2)}\u00d7**\n"
+        f"- **scaling efficiency: {round(eff, 3)}** (target \u2265 0.8)\n"
+    )
+    os.makedirs("BENCH", exist_ok=True)
+    path = "BENCH/BASELINE.md"
+    B, E = "<!-- RESULTS:BEGIN -->", "<!-- RESULTS:END -->"
+    try:
+        doc = open(path).read()
+        assert B in doc and E in doc
+        doc = doc[: doc.index(B) + len(B)] + "\n" + block + doc[doc.index(E):]
+    except (FileNotFoundError, AssertionError):
+        doc = (
+            "# BENCH \u2014 frontier throughput + scaling efficiency\n\n"
+            + B + "\n" + block + E + "\n"
+        )
+    with open(path, "w") as f:
+        f.write(doc)
 
 
 if __name__ == "__main__":
