@@ -16,9 +16,12 @@ contamination checks in addition to the pixel-level ops in image_q:
   excluded at the shingle join. Full DuckDB oracle.
 - ``image_dedup_clusters``: connected components over the union of
   pixel evidence (phash banded-LSH pairs) and caption evidence (exact
-  normalized-caption groups as star edges). phash is Python-side, so
-  this is a rows-only driver check; cluster structure (twins join their
-  originals) is unit-tested in tests/test_image_pipeline.py.
+  normalized-caption groups as star edges). Full DuckDB oracle: the
+  pixel-derived phash values are pinned as a VALUES fixture
+  (fixtures/image_phash.py — phash is a pure function of doc_id) and
+  the banding + Hamming + recursive-CTE components are re-expressed in
+  SQL; cluster structure (twins join their originals) is additionally
+  unit-tested in tests/test_image_pipeline.py.
 
 Caption derivation matches queries/image_q.py exactly:
 caption = substr(text, 1, 64) for doc_id < N_DOCS.
@@ -34,7 +37,11 @@ from gocrawler_spark.operators import images as IM
 from gocrawler_spark.queries import load, register
 from gocrawler_spark.queries.crawler_q import CFG, STOP_RX, TOKS_SQL
 from gocrawler_spark.queries.dedup_q import SHINGLE_N
-from gocrawler_spark.queries.image_q import N_DOCS, images_from_documents
+from gocrawler_spark.queries.image_q import (
+    N_DOCS,
+    PHASH_SQL,
+    images_from_documents,
+)
 from gocrawler_spark.queries.pipeline_q import connected_components
 
 # Shared caption derivation (both engines): images exist for
@@ -196,7 +203,44 @@ def caption_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("image_dedup_clusters")  # phash is Python-side — rows-only check
+@register(
+    "image_dedup_clusters",
+    f"""
+WITH RECURSIVE
+{PHASH_SQL},
+bands AS (
+  SELECT did, phash, b.band_id,
+         (phash >> (b.band_id * 16)) & 65535 AS band_value
+  FROM ph CROSS JOIN (SELECT unnest([0,1,2,3]) AS band_id) b
+),
+ppairs AS (
+  SELECT DISTINCT l.did AS a, r.did AS b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_value = r.band_value
+  WHERE l.did < r.did AND bit_count(xor(l.phash, r.phash)) <= 3
+),
+{_CAPTIONS_SQL},
+normed AS (SELECT image_id AS iid, {_NORM_SQL} AS cn FROM captions),
+mins AS (SELECT cn, min(iid) AS m FROM normed GROUP BY cn),
+cstars AS (
+  SELECT m AS a, iid AS b FROM normed JOIN mins USING (cn) WHERE iid <> m
+),
+ep AS (SELECT a, b FROM ppairs UNION SELECT a, b FROM cstars),
+edges AS (SELECT a AS src, b AS dst FROM ep UNION SELECT b, a FROM ep),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, comp) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+labels AS (SELECT doc_id, min(comp) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT CAST(l.doc_id AS VARCHAR) AS image_id,
+       CAST(l.cluster_id AS VARCHAR) AS cluster_id,
+       count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+       CAST(l.doc_id = l.cluster_id AS BIGINT) AS is_canonical
+FROM labels l
+""",
+)
 def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup image clusters: connected components over the union of
     pixel evidence (phash banded-LSH pairs, Hamming ≤ 3) and caption

@@ -3,9 +3,12 @@
 The driver testdata has no image table, so these queries DERIVE one
 deterministically from ``documents``: metadata (w, h, fmt, caption)
 via SQL-expressible arithmetic on ``doc_id`` (so the metadata query
-has a real DuckDB oracle), pixels/bytes/phash via the pure-function
-render (Python-side — those queries are rows-only checks, which is
-the driver's weaker gate for genuinely non-SQL-expressible ops).
+has a real DuckDB oracle), pixels/bytes via the pure-function render.
+Because the pixels are a pure function of doc_id, the phash column is
+too — its 300 values are pinned as a VALUES fixture
+(fixtures/image_phash.py), which upgrades the phash LSH queries to
+full DuckDB oracles; only the queries that DECODE payload bytes
+inside the check (validate / resize round-trip) remain rows-only.
 
 Derivations (both sides compute these identically):
     w    = 16 + doc_id % 49
@@ -24,11 +27,26 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gocrawler_spark.fixtures.image_phash import PHASH_VALUES_SQL
 from gocrawler_spark.operators import images as IM
 from gocrawler_spark.queries import load, register
 from gocrawler_spark.sources import synthetic_images as SI
 
 N_DOCS = 300  # doc_id < N_DOCS exists at every sf
+
+# The phash column is a pure function of doc_id (see module docstring),
+# pinned as a VALUES fixture (fixtures/image_phash.py, drift-guarded by
+# tests/test_images.py) and joined against documents so only doc_ids
+# present at the current scale factor materialize — this makes the LSH
+# banding / Hamming logic itself oracle-checkable in SQL.
+PHASH_SQL = f"""
+ph AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS image_id, d.doc_id AS did, f.phash
+  FROM documents d JOIN (VALUES {PHASH_VALUES_SQL}) f(did, phash)
+    ON d.doc_id = f.did
+  WHERE d.doc_id < {N_DOCS}
+)
+"""
 
 
 def images_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,11 +168,36 @@ def image_validate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("image_phash_near_dups")  # phash is Python-side — rows-only check
+@register(
+    "image_phash_near_dups",
+    f"""
+    WITH {PHASH_SQL},
+    bands AS (
+      SELECT image_id, phash, b.band_id,
+             (phash >> (b.band_id * 16)) & 65535 AS band_value
+      FROM ph CROSS JOIN (SELECT unnest([0,1,2,3]) AS band_id) b
+    ),
+    cand AS (
+      SELECT DISTINCT l.image_id AS a_id, r.image_id AS b_id,
+             l.phash AS pa, r.phash AS pb
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_value = r.band_value
+      WHERE l.image_id < r.image_id
+    )
+    SELECT a_id, b_id, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(pa, pb)) <= 3
+    ORDER BY a_id, b_id
+    """,
+)
 def image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH perceptual near-dup pairs; the twin construction
     (doc_id % 5 == 1 re-renders doc_id-1 lossily) guarantees known
-    pairs, verified in tests."""
+    pairs, verified in tests. The oracle pins the pixel-derived phash
+    values (pure function of doc_id — fixtures/image_phash.py) and
+    independently re-expresses the banding + Hamming verification in
+    SQL; arithmetic `>>` then `& 65535` equals the engine's
+    shiftright+mask band extraction for every band offset."""
     imgs = images_from_documents(spark, sf_dir)
     return IM.phash_near_dups(imgs, max_hamming=3).orderBy("a_id", "b_id")
 

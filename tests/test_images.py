@@ -160,3 +160,13 @@ def test_resize_images_deterministic_round_trip(spark):
     assert sorted(r["phash"] for r in again) == sorted(
         r["phash"] for r in resized
     )
+
+
+def test_phash_fixture_matches_renderer():
+    """The pinned phash VALUES fixture used by the DuckDB oracles
+    (fixtures/image_phash.py) must track the renderer exactly —
+    guards against codec/render drift silently invalidating the
+    image_phash_near_dups / image_dedup_clusters oracles."""
+    from gocrawler_spark.fixtures import image_phash as PF
+
+    assert PF.PHASH == PF.regenerate()

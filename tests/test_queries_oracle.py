@@ -25,9 +25,7 @@ def test_all_queries_have_oracles_or_are_documented():
         # — not SQL-expressible; covered by round-trip unit tests
         # (tests/test_images.py, tests/test_media.py) + driver rows-only
         "image_validate_summary",
-        "image_phash_near_dups",
         "image_resize_summary",
-        "image_dedup_clusters",
         "audio_features_summary",
         # iterative BPE merge training is not SQL-expressible; covered
         # by tests/test_bpe.py (hand-checked merges + python oracle)
