@@ -165,6 +165,7 @@ def merge_into_frontier(
     n_shards: int = 64,
     pin=None,
     broadcast_max_rows: int = 200_000,
+    base: int | None = None,
 ) -> DataFrame:
     """F5/A4 cross-wave merge: existing URLs get count += delta; new
     URLs are appended with insertion seq = max_seq + rank by
@@ -189,9 +190,14 @@ def merge_into_frontier(
     - seq assignment is the two-level rank of _assign_seq — no
       single-partition window anywhere in the merge.
     Results are byte-identical with and without bloom (e2e-tested).
+
+    `base` (the first seq to assign) may be supplied by callers that
+    track it driver-side — this keeps the merge from running an extra
+    max(seq) job over a frontier plan that may not be materialized yet.
     """
-    max_seq = frontier.agg(F.max("seq")).first()[0]
-    base = (max_seq if max_seq is not None else -1) + 1
+    if base is None:
+        max_seq = frontier.agg(F.max("seq")).first()[0]
+        base = (max_seq if max_seq is not None else -1) + 1
 
     if pin is None:
         pin = lambda df: df.localCheckpoint(eager=True)  # noqa: E731

@@ -19,12 +19,21 @@ Scale design (100 TB / 1e10-URL frontier):
 - frontier and pages tables are hash-partitioned on url (bucketed
   xxhash64) so the per-wave MERGE joins are co-located;
 - domain_counter / fail_counts are one-row-per-host dims → broadcast;
-- the fetch stage repartitions the wave by domain (optionally salted:
-  xxhash64(domain) + pos % salt for hot hosts) so politeness is
-  group-local and skew is bounded by per_host_budget;
+- the fetch stage repartitions the wave by domain (salted when
+  fetch_salt > 1: (domain, xxhash64(url) % salt) splits hot hosts
+  across partitions) so per-task host fan-out is bounded and skew is
+  capped by per_host_budget;
 - state lineage is truncated per wave via localCheckpoint (test mode)
   or parquet snapshots + a JSON manifest (resume mode — an
-  Iceberg-style shim; see TableStore).
+  Iceberg-style shim; see TableStore);
+- append-only state (pages, signatures, logs, corpus/host counters)
+  is DELTA-ACCUMULATED: each wave pins only its small delta and the
+  state field is a lazy union of the pinned pieces, compacted into a
+  single pin every `compact_every` waves — the Iceberg delta+compact
+  pattern. This cuts the eager materializations per wave roughly in
+  half versus re-checkpointing every full table every wave, and at
+  1e10-row scale it is the only shape that works at all (re-writing
+  a frontier-sized table per wave is O(waves · state)).
 
 The network fetcher is pluggable; tests/bench use the deterministic
 synthetic web (sources/synthetic_web.py). Replaces reference
@@ -140,6 +149,8 @@ class CrawlEngine:
         use_bucketed_frontier: bool = False,
         frontier_buckets: int = 32,
         index_transport=None,
+        compact_every: int = 8,
+        fetch_salt: int = 1,
     ):
         from gocrawler_spark.sources import synthetic_web
 
@@ -157,8 +168,18 @@ class CrawlEngine:
         self.robots_fn = robots_fn
         self.checkpoint_every = checkpoint_every
         self.index_transport = index_transport
+        self.compact_every = compact_every
+        self.fetch_salt = max(1, int(fetch_salt))
         self.store = TableStore(checkpoint_dir) if checkpoint_dir else None
         self.pins = PinSet(spark)
+        # delta-accumulated state: family -> list of pieces (pinned
+        # deltas or lazy projections of pinned deltas); the state
+        # fields expose lazy unions. _live holds every pinned
+        # DataFrame the current pieces depend on — the retain set for
+        # PinSet at wave end.
+        self._pieces: dict[str, list[DataFrame]] = {}
+        self._live: list[DataFrame] = []
+        self._next_seq: int = 0
         # scale mode: frontier state lives in a domain-bucketed,
         # (domain, url)-sorted table so the per-wave plans never
         # shuffle it (plans/bucketed.py). Mutually exclusive with the
@@ -188,33 +209,54 @@ class CrawlEngine:
         else:
             self.state.frontier = self._pin(plan)
 
+    # append-only families and, for the summed ones, (key, value) of
+    # the additive merge their union view re-aggregates
+    _SUMMED = {
+        "domain_counter": ("domain", "n_scheduled"),
+        "fail_counts": ("domain", "n_failed"),
+        "corpus_freq": ("token", "count"),
+    }
+    _APPEND = (
+        "pages", "signatures", "crawl_log", "accepted", "ranking_rows",
+        "images", "domain_counter", "fail_counts", "corpus_freq",
+    )
+
     def _init_state(self) -> CrawlState:
         s = self.spark
         boot = FR.bootstrap_frontier(s, self.cfg)
         if self.bfront is not None:
             boot = self.bfront.write(boot)
-        return CrawlState(
-            frontier=boot,
-            domain_counter=self._df("domain string, n_scheduled long"),
-            fail_counts=self._df("domain string, n_failed long"),
-            pages=self._df(
+        else:
+            boot = self._pin(boot)
+        max_seq = boot.agg(F.max("seq")).first()[0]
+        self._next_seq = (max_seq if max_seq is not None else -1) + 1
+        bases = {
+            "domain_counter": self._df("domain string, n_scheduled long"),
+            "fail_counts": self._df("domain string, n_failed long"),
+            "pages": self._df(
                 "url string, content string, links array<string>, ok boolean"
             ),
-            signatures=self._df("signature string, url string"),
-            corpus_freq=self._df("token string, count long"),
-            crawl_log=self._df(
+            "signatures": self._df("signature string, url string"),
+            "corpus_freq": self._df("token string, count long"),
+            "crawl_log": self._df(
                 "wave long, sel_rank int, url string, domain string, seq long,"
                 " status_after int"
             ),
-            accepted=self._df(
+            "accepted": self._df(
                 "wave long, url string, curated string, doc_len int,"
                 " signature string, score double"
             ),
-            ranking_rows=self._df(
+            "ranking_rows": self._df(
                 "wave long, url string, score double, doc_len int,"
                 " signature string, best_paragraph string"
             ),
-            images=IM.empty_images(s) if self.with_images else None,
+            "images": IM.empty_images(s) if self.with_images else None,
+        }
+        self._pieces = {
+            k: [v] for k, v in bases.items() if v is not None
+        }
+        return CrawlState(
+            frontier=boot,
             bloom=(
                 BL.build(
                     FR.bootstrap_frontier(s, self.cfg).select("url"),
@@ -226,7 +268,39 @@ class CrawlEngine:
                 else None
             ),
             robots=PO.empty_robots(s) if self.use_robots else None,
+            **bases,
         )
+
+    # -- delta accumulation ------------------------------------------
+
+    def _union_view(self, family: str) -> DataFrame:
+        pieces = self._pieces[family]
+        df = pieces[0]
+        for p in pieces[1:]:
+            df = df.unionByName(p)
+        if family in self._SUMMED and len(pieces) > 1:
+            key, val = self._SUMMED[family]
+            df = df.groupBy(key).agg(F.sum(val).alias(val))
+        return df
+
+    def _append(self, family: str, delta: DataFrame) -> None:
+        """Record a per-wave delta and refresh the state field's lazy
+        union view. Plans that captured the previous view keep their
+        pre-delta snapshot (DataFrames are immutable) — exactly the
+        read-your-own-wave semantics the reference has."""
+        self._pieces[family].append(delta)
+        setattr(self.state, family, self._union_view(family))
+
+    def _compact(self) -> None:
+        """Collapse every piece list into one pinned table and reset
+        the live set — bounds plan depth and frees the content-heavy
+        early-wave pins (the Iceberg compaction analog)."""
+        for fam in list(self._pieces):
+            view = self._union_view(fam)
+            piece = self._pin(view)
+            self._pieces[fam] = [piece]
+            setattr(self.state, fam, piece)
+        self._live = [p[0] for p in self._pieces.values()]
 
     def _pin(self, df: DataFrame) -> DataFrame:
         """Truncate lineage between waves (iterative-algorithm hygiene).
@@ -236,15 +310,27 @@ class CrawlEngine:
     def _gc_pins(self) -> None:
         """Free every pin not referenced by current state — called at
         the end of each wave, after all new state is eagerly
-        materialized. Keeps block-manager usage O(state), not O(waves)."""
-        self.pins.retain(self._state_tables().values())
+        materialized. The retain set is the frontier/bloom/robots pins
+        plus every pinned delta the lazy union views depend on
+        (self._live); wave-transient pins (selection, wave rows, merge
+        intermediates) fall out of it and are freed."""
+        st = self.state
+        keep = list(self._live) + [st.frontier, st.bloom, st.robots]
+        self.pins.retain(keep)
 
     # ------------------------------------------------------------------
 
     def step(self) -> bool:
         """Run one wave. Returns False when the frontier is exhausted
         (including the reference's terminal domain-counter quirk,
-        crawler.go:386,420)."""
+        crawler.go:386,420).
+
+        AQE stays whatever the session configured, deliberately: the
+        delta-accumulated state views union many pinned pieces, each
+        carrying its own partitioning, and AQE's partition coalescing
+        collapses those stacked-partition stages (measured ~20% of
+        wave wall time at wave_size=1 with AQE off; AQE on wins at
+        every wave size now that the views are lazy unions)."""
         st, cfg = self.state, self.cfg
         sel = FR.select_wave(
             st.frontier, st.domain_counter, cfg.wave_size, cfg.per_host_budget
@@ -268,14 +354,11 @@ class CrawlEngine:
             # terminal quirk: getNextLink increments pool[0]'s domain
             # even when nothing is eligible (crawler.go:386,420)
             first = st.frontier.orderBy("seq").limit(1).select("domain")
-            st.domain_counter = self._pin(
-                CO.merge_freq(
-                    st.domain_counter.withColumnRenamed("n_scheduled", "count")
-                    .withColumnRenamed("domain", "token"),
-                    first.select(F.col("domain").alias("token"), F.lit(1).alias("count")),
-                )
-                .withColumnRenamed("token", "domain")
-                .withColumnRenamed("count", "n_scheduled")
+            self._append(
+                "domain_counter",
+                first.select(
+                    "domain", F.lit(1).cast("long").alias("n_scheduled")
+                ),
             )
             self._gc_pins()
             return False
@@ -310,15 +393,15 @@ class CrawlEngine:
             )
 
         # A3: selection-time domain counter increment (crawler.go:420)
-        st.domain_counter = self._pin(
-            CO.merge_freq(
-                st.domain_counter.select(
-                    F.col("domain").alias("token"), F.col("n_scheduled").alias("count")
-                ),
-                sel.groupBy("domain").count().select(
-                    F.col("domain").alias("token"), F.col("count")
-                ),
-            ).select(F.col("token").alias("domain"), F.col("count").alias("n_scheduled"))
+        # — a lazy delta over the pinned selection; the counter view
+        # re-aggregates the pieces at its next read (select_wave's
+        # broadcast side, one row per host).
+        self._live.append(sel)
+        self._append(
+            "domain_counter",
+            sel.groupBy("domain").agg(
+                F.count(F.lit(1)).cast("long").alias("n_scheduled")
+            ),
         )
 
         # ---- fetch stage (S1-S3): cache anti-join + politeness ----
@@ -344,66 +427,90 @@ class CrawlEngine:
             if self.html_fetch_fn is not None
             else pandas_fetcher(self.fetch_fn)
         )
-        fetched_new = (
-            fetchable.repartition(F.col("domain"))
-            .select("url")
-            .mapInPandas(fetch_udf, FETCH_SCHEMA)
+        # the fetch runs EXACTLY once: fetched_new is the only pin that
+        # executes the UDF; everything downstream (page cache delta,
+        # failure delta, the wave view) is a lazy projection of it.
+        # fetch_salt > 1 defeats hot-domain skew (north_rule): a domain
+        # whose per-wave allocation dwarfs the others is split across
+        # up to `salt` partitions by a url-hash sub-key. Safe because
+        # the fetch fn is pure per-URL (politeness = selection-time
+        # budget + fail counters, not partition-local rate limiting).
+        if self.fetch_salt > 1:
+            # explicit partition count: AQE coalesces shuffle
+            # partitions by BYTE size, but fetch cost is per-URL
+            # (network), not bytes — wave URLs are tiny, so AQE would
+            # fold the salted split right back into one task.
+            n_parts = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            to_run = fetchable.repartition(
+                n_parts,
+                F.col("domain"),
+                F.pmod(F.xxhash64("url"), F.lit(self.fetch_salt)),
+            )
+        else:
+            to_run = fetchable.repartition(F.col("domain"))
+        fetched_new = self._pin(
+            to_run.select("url").mapInPandas(fetch_udf, FETCH_SCHEMA)
         )
-        fetched = self._pin(
-            fetched_new.unionByName(
-                refused.select(
-                    "url",
-                    F.lit("").alias("content"),
-                    F.array().cast("array<string>").alias("links"),
-                    F.lit(False).alias("ok"),
-                )
-            ).unionByName(cached.select("url", "content", "links", "ok"))
-        )
+        self._live.append(fetched_new)
+        fetched = fetched_new.unionByName(
+            refused.select(
+                "url",
+                F.lit("").alias("content"),
+                F.array().cast("array<string>").alias("links"),
+                F.lit(False).alias("ok"),
+            )
+        ).unionByName(cached.select("url", "content", "links", "ok"))
 
         # politeness bookkeeping: only TRANSPORT failures count
         # (refusals don't re-report — crawler.go:192-216,503-505)
-        new_fails = (
+        self._append(
+            "fail_counts",
             fetched_new.filter(~F.col("ok"))
             .join(sel.select("url", "domain"), "url")
             .groupBy("domain")
-            .count()
-        )
-        st.fail_counts = self._pin(
-            CO.merge_freq(
-                st.fail_counts.select(F.col("domain").alias("token"), F.col("n_failed").alias("count")),
-                new_fails.select(F.col("domain").alias("token"), F.col("count")),
-            ).select(F.col("token").alias("domain"), F.col("count").alias("n_scheduled"))
-            .withColumnRenamed("n_scheduled", "n_failed")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_failed")),
         )
 
         # S3 memoization: append newly fetched OK pages
         ok_new = fetched_new.filter(F.col("ok"))
-        st.pages = self._pin(st.pages.unionByName(ok_new))
+        self._append("pages", ok_new)
 
         # graft payload: images+captions of newly fetched pages →
         # input_hint table (first-fetch only, so re-crawls are
         # idempotent; cache hits never re-extract)
         if self.with_images:
-            st.images = self._pin(
-                st.images.unionByName(
-                    IM.build_image_table(ok_new.select("url"), seed=self.cfg.seed)
-                )
+            self._append(
+                "images",
+                IM.build_image_table(ok_new.select("url"), seed=self.cfg.seed),
             )
 
-        wave_rows = sel.join(fetched, "url").select(
-            "url", "domain", "seq", "sel_rank", "priority",
-            F.col("status").alias("prev_status"),
-            "content", "links", "ok",
+        # the wave's row metadata is pinned WITHOUT the page bodies —
+        # it backs the crawl-log piece (must stay live, so keep it
+        # small); the body-bearing view joins it back to the pinned
+        # fetch output lazily (cheap broadcast joins, no UDF re-run).
+        wave_meta = self._pin(
+            sel.join(fetched.select("url", "ok"), "url").select(
+                "url", "domain", "seq", "sel_rank", "priority",
+                F.col("status").alias("prev_status"), "ok",
+            )
         )
-        wave_rows = self._pin(wave_rows)
+        self._live.append(wave_meta)
+        wave_rows = wave_meta.join(
+            fetched.select("url", "content", "links"), "url"
+        )
 
         # frontier status transitions (F10)
-        status_after = wave_rows.select(
+        status_after = wave_meta.select(
             "url", F.when(F.col("ok"), 2).otherwise(3).alias("new_status")
         )
         # status_after is wave-sized -> broadcast: the frontier side is
-        # streamed in place (bucketed mode: scan stays bucket-aligned)
-        self._set_frontier(
+        # streamed in place (bucketed mode: scan stays bucket-aligned).
+        # Non-bucketed mode leaves this LAZY and fuses it into the
+        # link-expansion merge below — one frontier materialization per
+        # wave instead of two.
+        status_updated = (
             st.frontier.alias("f")
             .join(F.broadcast(status_after.alias("s")), "url", "left")
             .select(
@@ -412,14 +519,15 @@ class CrawlEngine:
                 "seq", "eligible",
             )
         )
-        st.crawl_log = self._pin(
-            st.crawl_log.unionByName(
-                wave_rows.join(status_after, "url").select(
-                    F.lit(wave).cast("long").alias("wave"),
-                    "sel_rank", "url", "domain", "seq",
-                    F.col("new_status").alias("status_after"),
-                )
-            )
+        if self.bfront is not None:
+            self._set_frontier(status_updated)
+        self._append(
+            "crawl_log",
+            wave_meta.select(
+                F.lit(wave).cast("long").alias("wave"),
+                "sel_rank", "url", "domain", "seq",
+                F.when(F.col("ok"), 2).otherwise(3).alias("status_after"),
+            ),
         )
 
         # ---- document pipeline (T/P ops) ----
@@ -435,39 +543,38 @@ class CrawlEngine:
         # P5 first-wins: cross-wave anti-join + intra-wave window by
         # selection order
         sig_new = CU.signature_dedup(len_ok, st.signatures, [F.asc("sel_rank")])
+        # the wave's ONE curation materialization; the signature table
+        # delta, ranking rows, accepted docs, and corpus-frequency
+        # delta are all lazy projections/filters of this pin.
         sig_new = self._pin(sig_new)
-        st.signatures = self._pin(
-            st.signatures.unionByName(sig_new.select("signature", "url"))
-        )
+        self._live.append(sig_new)
+        self._append("signatures", sig_new.select("signature", "url"))
         scored = sig_new.filter(F.col("score") >= F.lit(cfg.score_threshold))
-        st.ranking_rows = self._pin(
-            st.ranking_rows.unionByName(
-                scored.select(
-                    F.lit(wave).cast("long").alias("wave"), "url", "score",
-                    F.col("doc_len").cast("int"), "signature", "best_paragraph",
-                )
-            )
+        self._append(
+            "ranking_rows",
+            scored.select(
+                F.lit(wave).cast("long").alias("wave"), "url", "score",
+                F.col("doc_len").cast("int"), "signature", "best_paragraph",
+            ),
         )
         accepted = scored.filter(F.col("burst_ok"))
-        accepted = self._pin(accepted)
         # S11: fire-and-forget indexer notification for every accepted
         # doc (crawler.go:1384-1396); disabled while add_url is empty.
         if cfg.add_url and self.index_transport is not None:
             from gocrawler_spark.sinks import indexer as IX
 
             IX.notify_indexer(accepted, cfg.add_url, self.index_transport)
-        st.accepted = self._pin(
-            st.accepted.unionByName(
-                accepted.select(
-                    F.lit(wave).cast("long").alias("wave"), "url", "curated",
-                    F.col("doc_len").cast("int"), "signature", "score",
-                )
-            )
+        self._append(
+            "accepted",
+            accepted.select(
+                F.lit(wave).cast("long").alias("wave"), "url", "curated",
+                F.col("doc_len").cast("int"), "signature", "score",
+            ),
         )
 
-        # A2: corpus frequency MERGE from accepted docs
-        delta = CO.token_freq(accepted.select("curated"), cfg)
-        st.corpus_freq = self._pin(CO.merge_freq(st.corpus_freq, delta))
+        # A2: corpus frequency delta from accepted docs (the union
+        # view re-aggregates on read; compaction folds it down)
+        self._append("corpus_freq", CO.token_freq(accepted.select("curated"), cfg))
 
         # ---- link expansion (F6/F5/A4) ----
         # bootstrap pages expand immediately (crawler.go:1110-1113);
@@ -487,12 +594,21 @@ class CrawlEngine:
         if self.bfront is not None:
             self._set_frontier(self.bfront.merge(cand, pin=self._pin))
         else:
+            # ONE frontier materialization per wave: the lazy status
+            # transition plan feeds the merge directly; the insertion
+            # seq base is tracked driver-side, so no extra max(seq)
+            # job runs over the unmaterialized plan.
             st.frontier = self._pin(
                 FR.merge_into_frontier(
-                    st.frontier, cand, cfg, bloom=st.bloom,
+                    status_updated, cand, cfg, bloom=st.bloom,
                     n_shards=self.bloom_shards, pin=self._pin,
+                    base=self._next_seq,
                 )
             )
+            # narrow max over the just-pinned blocks (no recompute)
+            m = st.frontier.agg(F.max("seq")).first()[0]
+            if m is not None:
+                self._next_seq = m + 1
         if self.use_bloom:
             # grow the seen-set by ALL wave candidates (superset of the
             # newly appended URLs — harmless for a Bloom filter, avoids
@@ -508,6 +624,8 @@ class CrawlEngine:
                     ),
                 )
             )
+        if self.compact_every and wave % self.compact_every == 0:
+            self._compact()
         self._gc_pins()
         return True
 
@@ -571,10 +689,16 @@ class CrawlEngine:
         for name, df in tables.items():
             if name == "frontier":
                 eng._set_frontier(df)
-            elif getattr(st, name, None) is not None or name in (
-                "images", "bloom", "robots",
-            ):
-                setattr(st, name, eng._pin(df))
+            elif name in ("bloom", "robots"):
+                if getattr(st, name, None) is not None:
+                    setattr(st, name, eng._pin(df))
+            elif name in eng._pieces or name == "images":
+                piece = eng._pin(df)
+                eng._pieces[name] = [piece]
+                setattr(st, name, piece)
+        eng._live = [p[0] for p in eng._pieces.values()]
+        m = st.frontier.agg(F.max("seq")).first()[0]
+        eng._next_seq = (m if m is not None else -1) + 1
         if eng.use_bloom and "bloom" not in tables:
             # Snapshot was written without bloom: the bootstrap-built filter
             # only covers the seed URLs, violating the no-false-negative

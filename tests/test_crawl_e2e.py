@@ -169,3 +169,50 @@ def test_bloom_path_identical_results(spark):
         return fr, log, corp
 
     assert snap(plain) == snap(bloomed)
+
+
+def test_salted_fetch_identical_results(spark):
+    """fetch_salt must be a pure partitioning optimization: the salted
+    repartition (domain, xxhash64(url) % salt) changes task placement
+    of hot hosts, never results."""
+    cfg = _tp(wave_size=8, per_host_budget=4)
+    plain = CrawlEngine(spark, cfg).run(max_steps=3)
+    salted = CrawlEngine(spark, cfg, fetch_salt=8).run(max_steps=3)
+
+    def snap(st):
+        fr = sorted(
+            (r["url"], r["domain"], r["count"], r["status"], r["seq"])
+            for r in st.frontier.collect()
+        )
+        log = sorted((r["wave"], r["url"]) for r in st.crawl_log.collect())
+        pages = sorted(r["url"] for r in st.pages.collect())
+        return fr, log, pages
+
+    assert snap(plain) == snap(salted)
+
+
+def test_salted_fetch_spreads_hot_domain(spark):
+    """A hot domain's wave allocation must span >1 partition under the
+    salted key — the north-rule skew defeat, asserted at the plan
+    level rather than by wall clock."""
+    from pyspark.sql import functions as F
+
+    rows = [(f"https://hot.example/p{i}", "hot.example") for i in range(64)]
+    df = spark.createDataFrame(rows, "url string, domain string")
+
+    def spread(df2):
+        return (
+            df2.withColumn("pid", F.spark_partition_id())
+            .select("pid").distinct().count()
+        )
+
+    # explicit partition count: AQE coalesces by byte size, which
+    # would re-fuse tiny-but-expensive fetch batches (see crawl.py)
+    plain = spread(df.repartition(32, F.col("domain")))
+    salted = spread(
+        df.repartition(
+            32, F.col("domain"), F.pmod(F.xxhash64("url"), F.lit(8))
+        )
+    )
+    assert plain == 1, "unsalted: one partition per domain"
+    assert salted > 1, "salted: hot domain split across partitions"
