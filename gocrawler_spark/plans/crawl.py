@@ -25,7 +25,10 @@ Scale design (100 TB / 1e10-URL frontier):
   capped by per_host_budget;
 - state lineage is truncated per wave via localCheckpoint (test mode)
   or parquet snapshots + a JSON manifest (resume mode — an
-  Iceberg-style shim; see TableStore);
+  Iceberg-style shim; see TableStore). Checkpoints mirror the
+  in-memory delta shape: append-only families persist ONLY the rows
+  appended since the last commit (O(wave) I/O per checkpoint), the
+  manifest naming the cumulative segment list;
 - append-only state (pages, signatures, logs, corpus/host counters)
   is DELTA-ACCUMULATED: each wave pins only its small delta and the
   state field is a lazy union of the pinned pieces, compacted into a
@@ -180,6 +183,15 @@ class CrawlEngine:
         self._pieces: dict[str, list[DataFrame]] = {}
         self._live: list[DataFrame] = []
         self._next_seq: int = 0
+        # delta checkpointing: _pending holds each family's appended
+        # deltas not yet flushed to a parquet segment; _flushed_segs
+        # holds segment manifest entries flushed but not yet named by
+        # a committed manifest; _seg_counter gives segments stable
+        # monotonic names (resume continues after the committed count,
+        # so a crash-orphaned segment is overwritten on replay).
+        self._pending: dict[str, list[DataFrame]] = {}
+        self._flushed_segs: dict[str, list[dict]] = {}
+        self._seg_counter: dict[str, int] = {}
         # scale mode: frontier state lives in a domain-bucketed,
         # (domain, url)-sorted table so the per-wave plans never
         # shuffle it (plans/bucketed.py). Mutually exclusive with the
@@ -290,11 +302,47 @@ class CrawlEngine:
         read-your-own-wave semantics the reference has."""
         self._pieces[family].append(delta)
         setattr(self.state, family, self._union_view(family))
+        if self.store is not None:
+            self._pending.setdefault(family, []).append(delta)
+
+    def _flush_pending(self) -> None:
+        """Write every family's not-yet-persisted delta rows to a
+        parquet segment. Segments stay INVISIBLE until a manifest
+        commit names them (checkpoint); flushing early is safe —
+        crash-orphaned segments are ignored by readers and
+        overwritten on replay. Called by checkpoint() and, crucially,
+        by _compact(): the pending plans reference the wave pins the
+        compaction is about to free."""
+        if self.store is None:
+            return
+        for fam, deltas in list(self._pending.items()):
+            if not deltas:
+                continue
+            df = deltas[0]
+            for d in deltas[1:]:
+                df = df.unionByName(d)
+            k = self._seg_counter.get(fam, 0)
+            seg = self.store.write_segment(
+                fam, f"seg{k:06d}", df, self.state.wave
+            )
+            if seg["row_count"] > 0:
+                self._seg_counter[fam] = k + 1
+                self._flushed_segs.setdefault(fam, []).append(seg)
+            else:
+                # nothing appended this cycle: drop the empty segment
+                # (the index is reused and overwritten next flush)
+                import shutil
+
+                shutil.rmtree(seg["path"], ignore_errors=True)
+            self._pending[fam] = []
 
     def _compact(self) -> None:
         """Collapse every piece list into one pinned table and reset
         the live set — bounds plan depth and frees the content-heavy
-        early-wave pins (the Iceberg compaction analog)."""
+        early-wave pins (the Iceberg compaction analog). Pending
+        checkpoint deltas are flushed to disk first: their plans
+        reference the pins being freed."""
+        self._flush_pending()
         for fam in list(self._pieces):
             view = self._union_view(fam)
             piece = self._pin(view)
@@ -629,32 +677,31 @@ class CrawlEngine:
         self._gc_pins()
         return True
 
-    def _state_tables(self) -> dict:
-        st = self.state
-        return {
-            "frontier": st.frontier,
-            "domain_counter": st.domain_counter,
-            "fail_counts": st.fail_counts,
-            "pages": st.pages,
-            "signatures": st.signatures,
-            "corpus_freq": st.corpus_freq,
-            "crawl_log": st.crawl_log,
-            "accepted": st.accepted,
-            "ranking_rows": st.ranking_rows,
-            "images": st.images,
-            "bloom": st.bloom,
-            "robots": st.robots,
-        }
-
     def checkpoint(self) -> None:
-        """Snapshot all state tables + commit the manifest (atomic)."""
+        """Commit a snapshot: flush pending delta segments, rewrite
+        the mutating tables (frontier/bloom/robots — row-level MERGE
+        persistence is out of scope for the parquet shim; in bucketed
+        scale mode the frontier already lives in its own disk-backed
+        table), and atomically commit the manifest naming everything.
+        Per-checkpoint I/O for the append-only families is O(rows
+        appended since the last checkpoint), not O(state)."""
         if self.store is None:
             return
-        self.store.write_snapshot(
-            self.state.wave,
-            self._state_tables(),
-            metrics={"wave": self.state.wave},
+        self._flush_pending()
+        st = self.state
+        self.store.commit(
+            st.wave,
+            full_tables={
+                "frontier": st.frontier,
+                "bloom": st.bloom,
+                "robots": st.robots,
+            },
+            delta_segments={
+                f: segs for f, segs in self._flushed_segs.items() if segs
+            },
+            metrics={"wave": st.wave},
         )
+        self._flushed_segs = {}
 
     def snapshot_files(self, out_dir: str, baseline=None) -> dict:
         """S8 checkpoint file emission (crawler.go:1294-1341): write
@@ -693,10 +740,21 @@ class CrawlEngine:
                 if getattr(st, name, None) is not None:
                     setattr(st, name, eng._pin(df))
             elif name in eng._pieces or name == "images":
+                if name in eng._SUMMED:
+                    # delta segments are additive per-checkpoint
+                    # partials — fold them back to current totals
+                    key, val = eng._SUMMED[name]
+                    df = df.groupBy(key).agg(F.sum(val).alias(val))
                 piece = eng._pin(df)
                 eng._pieces[name] = [piece]
                 setattr(st, name, piece)
         eng._live = [p[0] for p in eng._pieces.values()]
+        # continue segment numbering after the committed count so a
+        # replayed wave overwrites any crash-orphaned segment dir
+        man = eng.store.read_manifest() or {"tables": {}}
+        for nm, entry in man["tables"].items():
+            if entry.get("mode") == "delta":
+                eng._seg_counter[nm] = len(entry["segments"])
         m = st.frontier.agg(F.max("seq")).first()[0]
         eng._next_seq = (m if m is not None else -1) + 1
         if eng.use_bloom and "bloom" not in tables:

@@ -4,19 +4,30 @@ North_rule: "resumable from checkpoint with per-partition lineage +
 metrics". The sandbox has no Iceberg runtime jar, so this implements
 the same contract on plain parquet (SURVEY.md §4: the shim):
 
-- a **snapshot** = every state table written to
-  ``{root}/{table}/wave={W}/`` (parquet, partition-dir per wave);
+- each state table is a list of **segments** (parquet dirs). Mutating
+  tables (frontier, bloom, robots) are ``mode="full"``: one segment,
+  rewritten per checkpoint. Append-only tables (pages, signatures,
+  logs, counters, corpus freqs) are ``mode="delta"``: every checkpoint
+  adds ONLY the rows appended since the last one — per-checkpoint
+  write cost is O(wave), not O(state), the same Iceberg
+  append-snapshot shape the in-memory engine state uses
+  (plans/crawl.py delta accumulation). A reader unions the segments;
+  additively-merged tables (counters) are re-aggregated on load by
+  the engine (it owns the merge keys).
 - the **manifest** (``manifest.json``) is the single commit point,
   written LAST via tmp-file + atomic ``os.replace``: a crash anywhere
   before the rename leaves the previous manifest (and therefore the
-  previous consistent snapshot) in effect — orphan files from the
-  aborted wave are ignored by construction because readers only load
-  paths the manifest names;
-- per-table lineage in the manifest: wave of origin, row count, and
-  the parquet part-files with sizes (per-partition lineage), plus
-  free-form engine metrics.
+  previous consistent snapshot) in effect — segment dirs written by
+  the aborted wave are orphans, ignored by construction because
+  readers only load paths the manifest names. Delta segments may be
+  flushed to disk well before the manifest that names them (the
+  engine flushes at compaction time to release memory pins); they
+  stay invisible until committed.
+- per-partition lineage: every segment records its wave of origin,
+  row count, and parquet part-files with sizes, plus free-form engine
+  metrics on the manifest.
 
-Resume = read manifest → load the named snapshot dirs → hand the
+Resume = read manifest → union each table's named segments → hand the
 DataFrames back to a fresh CrawlEngine. Kill-and-resume equivalence
 is tested in tests/test_resume.py (resumed run == uninterrupted run,
 byte-exact state).
@@ -42,40 +53,72 @@ class TableStore:
         self.root = root
         os.makedirs(root, exist_ok=True)
 
-    # ------------------------------------------------------------------
+    # -- segment writes (NOT commits) ----------------------------------
 
-    def _table_dir(self, name: str, wave: int) -> str:
-        return os.path.join(self.root, name, f"wave={wave:06d}")
+    def write_segment(
+        self, name: str, label: str, df: DataFrame, wave: int
+    ) -> dict:
+        """Write one parquet segment ``{root}/{name}/{label}/`` and
+        return its manifest entry. Invisible until a later commit
+        names it (crash between write and commit = ignored orphan)."""
+        path = os.path.join(self.root, name, label)
+        df.write.mode("overwrite").parquet(path)
+        files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        # count from the written files' parquet footers (metadata-only
+        # scan), never by re-executing the delta plan
+        n = df.sparkSession.read.parquet(path).count()
+        return {
+            "path": path,
+            "wave": wave,
+            "row_count": n,
+            "partitions": [
+                {"file": f, "bytes": os.path.getsize(os.path.join(path, f))}
+                for f in files
+            ],
+        }
 
-    def write_snapshot(
+    # -- commit ---------------------------------------------------------
+
+    def commit(
         self,
         wave: int,
-        tables: dict[str, DataFrame],
+        full_tables: dict[str, DataFrame],
+        delta_segments: Optional[dict[str, list[dict]]] = None,
         metrics: Optional[dict] = None,
     ) -> dict:
-        """Write all state tables for `wave`, then commit the manifest
-        atomically. Idempotent: re-running the same wave overwrites its
-        directories and re-commits."""
-        entries = {}
-        for name, df in tables.items():
+        """Atomically commit a snapshot: rewrite the mutating tables,
+        append the new delta segments to each delta table's committed
+        list (carried forward from the current manifest), then swap
+        the manifest in. Idempotent per wave: re-running a wave
+        overwrites its full dirs and re-commits the same lists."""
+        prev = self.read_manifest() or {"tables": {}}
+        entries: dict[str, dict] = {}
+        for name, df in full_tables.items():
             if df is None:
                 continue
-            path = self._table_dir(name, wave)
-            df.write.mode("overwrite").parquet(path)
-            files = sorted(
-                f for f in os.listdir(path) if f.endswith(".parquet")
-            )
+            seg = self.write_segment(name, f"wave={wave:06d}", df, wave)
+            entries[name] = {"mode": "full", "segments": [seg]}
+        # delta tables with nothing new this commit keep their
+        # committed segment lists — a quiet table must not vanish
+        for name, old in prev["tables"].items():
+            if old.get("mode") == "delta" and name not in (delta_segments or {}):
+                entries[name] = old
+        for name, new_segs in (delta_segments or {}).items():
+            old = prev["tables"].get(name, {})
+            committed = list(old.get("segments", [])) if (
+                old.get("mode") == "delta"
+            ) else []
+            # crash-replay hygiene: drop committed segments from waves
+            # the engine is re-running (their rows will be re-flushed)
+            replay_from = min((s["wave"] for s in new_segs), default=None)
+            if replay_from is not None:
+                committed = [s for s in committed if s["wave"] < replay_from]
             entries[name] = {
-                "path": path,
-                "wave": wave,
-                "row_count": df.count(),
-                "partitions": [
-                    {"file": f, "bytes": os.path.getsize(os.path.join(path, f))}
-                    for f in files
-                ],
+                "mode": "delta",
+                "segments": committed + list(new_segs),
             }
         manifest = {
-            "format_version": 1,
+            "format_version": 2,
             "wave": wave,
             "tables": entries,
             "metrics": metrics or {},
@@ -86,7 +129,7 @@ class TableStore:
         os.replace(tmp, os.path.join(self.root, MANIFEST))  # commit point
         return manifest
 
-    # ------------------------------------------------------------------
+    # -- read -----------------------------------------------------------
 
     def read_manifest(self) -> Optional[dict]:
         p = os.path.join(self.root, MANIFEST)
@@ -97,12 +140,18 @@ class TableStore:
 
     def load_snapshot(self, spark: SparkSession) -> Optional[tuple[int, dict]]:
         """(wave, {table: DataFrame}) for the last committed snapshot,
-        or None if no manifest exists."""
+        or None if no manifest exists. Delta tables come back as the
+        raw union of their segments (the engine re-aggregates the
+        additively-merged ones); tables with zero segments (nothing
+        ever appended) are omitted — the engine keeps its typed empty
+        base."""
         m = self.read_manifest()
         if m is None:
             return None
-        tables = {
-            name: spark.read.parquet(entry["path"])
-            for name, entry in m["tables"].items()
-        }
+        tables = {}
+        for name, entry in m["tables"].items():
+            paths = [s["path"] for s in entry["segments"]]
+            if not paths:
+                continue
+            tables[name] = spark.read.parquet(*paths)
         return m["wave"], tables

@@ -44,12 +44,62 @@ def test_manifest_lineage(spark, tmp_path):
     eng.run(max_steps=2)
     m = TableStore(ckpt).read_manifest()
     assert m["wave"] == 2
+    assert m["format_version"] == 2
+    assert m["tables"]["frontier"]["mode"] == "full"
     for name in ["frontier", "pages", "corpus_freq", "crawl_log"]:
         e = m["tables"][name]
-        assert e["wave"] == 2
-        assert e["row_count"] >= 0
-        assert len(e["partitions"]) >= 1
-        assert all(p["bytes"] > 0 for p in e["partitions"])
+        assert len(e["segments"]) >= 1
+        for s in e["segments"]:
+            assert s["row_count"] >= 0
+            assert len(s["partitions"]) >= 1
+            assert all(p["bytes"] > 0 for p in s["partitions"])
+
+
+def test_delta_checkpoint_io_is_wave_sized(spark, tmp_path):
+    """Append-only families must persist ONLY rows appended since the
+    previous commit: each checkpoint adds one wave-sized segment, and
+    the segments' row counts sum to the table's size — never the
+    O(waves * state) rewrite of a full-snapshot-per-wave store."""
+    cfg = _tp(wave_size=4, per_host_budget=2)
+    ckpt = str(tmp_path / "ckpt_delta")
+    eng = CrawlEngine(spark, cfg, checkpoint_dir=ckpt)
+    eng.run(max_steps=3)
+    m = TableStore(ckpt).read_manifest()
+    e = m["tables"]["pages"]
+    assert e["mode"] == "delta"
+    segs = e["segments"]
+    assert len(segs) == 3, "one delta segment per checkpointed wave"
+    assert [s["wave"] for s in segs] == [1, 2, 3]
+    total = eng.state.pages.count()
+    assert sum(s["row_count"] for s in segs) == total
+    # every per-wave segment is strictly smaller than the final table
+    assert all(s["row_count"] < total for s in segs)
+
+
+def test_flushed_but_uncommitted_segments_invisible(spark, tmp_path):
+    """A segment flushed to disk without a manifest commit (compaction
+    flush, crash before checkpoint) must not change what resume
+    loads."""
+    cfg = _tp(wave_size=4, per_host_budget=2)
+    ckpt = str(tmp_path / "ckpt_orphan")
+    eng = CrawlEngine(spark, cfg, checkpoint_dir=ckpt)
+    eng.run(max_steps=2)
+    before = _snap(eng.state)
+
+    # crash mid-wave-3: one more step appends pending deltas; flush
+    # them to segments but never commit the manifest
+    eng.step()
+    eng._flush_pending()
+    del eng
+
+    eng_b = CrawlEngine.resume(spark, cfg, ckpt)
+    assert eng_b.state.wave == 2
+    assert _snap(eng_b.state) == before
+    # replaying wave 3 must overwrite the orphan (same segment name)
+    # and end in the same state as an uninterrupted 3-wave run
+    eng_b.run(max_steps=1)
+    want = _snap(CrawlEngine(spark, cfg).run(max_steps=3))
+    assert _snap(eng_b.state) == want
 
 
 def test_aborted_wave_is_invisible(spark, tmp_path):
