@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gocrawler_spark.fixtures import media_feats as MF
 from gocrawler_spark.fixtures.image_phash import PHASH_VALUES_SQL
 from gocrawler_spark.operators import images as IM
 from gocrawler_spark.queries import load, register
@@ -125,11 +126,35 @@ def image_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("image_validate_summary")  # binary decode — rows-only check
+@register(
+    "image_validate_summary",
+    f"""
+    WITH base AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id < {N_DOCS} AND NOT (doc_id % 5 = 1 AND doc_id > 0)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(COUNT(*) AS BIGINT) AS n_decode_ok,
+           CAST(COUNT(*) AS BIGINT) AS n_dims_ok,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels_ok,
+           CAST(COUNT(*) AS BIGINT) AS n_phash_ok,
+           (SELECT CAST(MIN(f.psnr_milli) AS BIGINT)
+              FROM (VALUES {MF.values_sql(MF.VALIDATE_PSNR)}) f(did, psnr_milli)
+              JOIN base b ON b.doc_id = f.did) AS min_lossy_psnr_milli,
+           CAST(COUNT(*) AS BIGINT) AS n_caption_ok
+    FROM base
+    """,
+)
 def image_validate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """input_hint invariant over the derived table: every row must
     decode, match the reference render (exact / PSNR>=40dB), keep its
-    caption byte-equal through the pipeline, and recompute its phash."""
+    caption byte-equal through the pipeline, and recompute its phash.
+
+    Oracle: the flags are invariants (every non-twin row passes — the
+    fixture regen asserts this), so the counts reduce to COUNT(*) over
+    the same doc_id predicate; the only non-SQL value, the lossy PSNR,
+    is a pure function of doc_id pinned in fixtures/media_feats.py
+    (drift-guarded by tests/test_media_fixtures.py)."""
     # twins (doc_id % 5 == 1) intentionally carry another id's pixels
     # for the near-dup query — exclude them from the id→render check
     imgs = images_from_documents(spark, sf_dir).filter(
@@ -202,11 +227,26 @@ def image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IM.phash_near_dups(imgs, max_hamming=3).orderBy("a_id", "b_id")
 
 
-@register("image_resize_summary")  # binary decode+resize — rows-only check
+@register(
+    "image_resize_summary",
+    f"""
+    SELECT TRUE AS dims_ok, TRUE AS phash_ok,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(f.pixel_sum) AS BIGINT) AS sum_pixels
+    FROM (VALUES {MF.values_sql(MF.RESIZE_PIXSUM)}) f(did, pixel_sum)
+    JOIN documents d ON d.doc_id = f.did
+    WHERE d.doc_id < {N_DOCS}
+    """,
+)
 def image_resize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → nearest-neighbor resize to 24x24 → re-encode → verify
     round-trip decodability, aggregated: every output must have the
-    target dims and its re-encoded PNG must decode back bit-equal."""
+    target dims and its re-encoded PNG must decode back bit-equal.
+
+    Oracle: the round-trip flags are invariants (asserted during
+    fixture regen), collapsing the group-by to the single (true, true)
+    row; the resized pixel sums are pure functions of doc_id pinned in
+    fixtures/media_feats.py."""
     import numpy as np
 
     resized = IM.resize_images(images_from_documents(spark, sf_dir), 24, 24)

@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gocrawler_spark.fixtures import media_feats as MF
 from gocrawler_spark.operators import media as MD
 from gocrawler_spark.queries import load, register
 from gocrawler_spark.sources import synthetic_media as SM
@@ -168,10 +169,39 @@ def video_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("audio_features_summary")  # binary decode — rows-only check
+@register(
+    "audio_features_summary",
+    f"""
+    WITH a AS (
+      SELECT d.doc_id,
+             NOT (d.doc_id % 7 = 0 AND d.doc_id > 0) AS valid,
+             2048 + (d.doc_id * 37) % 4096 AS n_samples,
+             f.rms, f.zcr
+      FROM documents d
+      LEFT JOIN (VALUES {MF.values_sql(MF.AUDIO_FEATS)})
+        f(did, n_win, rms, zcr) ON d.doc_id = f.did
+      WHERE d.doc_id < {N_MEDIA}
+    )
+    SELECT valid, valid AS exact_match,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN valid THEN n_samples // 512 ELSE 0 END)
+                AS BIGINT) AS sum_windows,
+           CAST(SUM(CASE WHEN valid THEN rms ELSE 0 END) AS BIGINT)
+                AS sum_rms_milli,
+           CAST(SUM(CASE WHEN valid THEN zcr ELSE 0 END) AS BIGINT)
+                AS sum_zcr_milli
+    FROM a GROUP BY valid ORDER BY valid
+    """,
+)
 def audio_features_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + validate + windowed features per payload, aggregated by
-    validity: stub-decoder rows (mp3) surface as valid=false."""
+    validity: stub-decoder rows (mp3) surface as valid=false.
+
+    Oracle: valid/exact_match and the windows-per-sample count are
+    re-derived in SQL from the doc_id metadata formulas (windowing is
+    ``n_samples // 512``); only the RMS/ZCR milli values — pure
+    functions of doc_id — come from the pinned fixture
+    (fixtures/media_feats.py, drift-guarded)."""
     feats = MD.audio_features(audio_from_documents(spark, sf_dir))
     return (
         feats.groupBy("valid", "exact_match")
@@ -185,10 +215,38 @@ def audio_features_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("video_frame_sample_motion")  # binary decode — rows-only check
+@register(
+    "video_frame_sample_motion",
+    f"""
+    WITH v AS (
+      SELECT d.doc_id,
+             NOT (d.doc_id % 11 = 0 AND d.doc_id > 0) AS valid,
+             4 + d.doc_id % 13 AS n_frames,
+             f.luma, f.motion
+      FROM documents d
+      LEFT JOIN (VALUES {MF.values_sql(MF.VIDEO_FEATS)})
+        f(did, n_sampled, luma, motion) ON d.doc_id = f.did
+      WHERE d.doc_id < {N_MEDIA}
+    )
+    SELECT valid, valid AS exact_match,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN valid THEN (n_frames + 1) // 2 ELSE 0 END)
+                AS BIGINT) AS sum_sampled,
+           CAST(SUM(CASE WHEN valid THEN luma ELSE 0 END) AS BIGINT)
+                AS sum_luma_milli,
+           CAST(SUM(CASE WHEN valid THEN motion ELSE 0 END) AS BIGINT)
+                AS sum_motion_milli
+    FROM v GROUP BY valid ORDER BY valid
+    """,
+)
 def video_frame_sample_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampled luminance/motion features, aggregated by validity;
-    h264 rows exercise the stub path (valid=false)."""
+    h264 rows exercise the stub path (valid=false).
+
+    Oracle: valid/exact_match and the stride-2 sample count are
+    re-derived in SQL from the doc_id metadata formulas
+    (``(n_frames + 1) // 2``); only the luma/motion milli values —
+    pure functions of doc_id — come from the pinned fixture."""
     feats = MD.video_features(video_from_documents(spark, sf_dir), frame_stride=2)
     return (
         feats.groupBy("valid", "exact_match")

@@ -160,6 +160,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES_MEMO: dict = {}
 _BPE_N_MERGES = 200
 _BPE_MAX_TYPES = 20_000
+# NOTE: no DuckDB oracle by design — BPE merge training is iterative
+# over corpus-dependent word counts, and the documents TEXT differs at
+# every scale factor (verified: sf0.001/sf0.01/sf0.1 texts are three
+# different corpora), so pinned per-doc token counts cannot be scale
+# independent the way the image/audio/video feature fixtures are
+# (those are pure functions of doc_id alone). Correctness is pinned by
+# tests/test_bpe.py instead (hand-computed merges, python-oracle doc
+# stats, determinism).
 
 
 def _bpe_merges(spark: SparkSession, sf_dir: str):

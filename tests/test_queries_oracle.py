@@ -21,15 +21,11 @@ def test_all_queries_have_oracles_or_are_documented():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops may omit the oracle; keep the list explicit
     allowed_missing = {
-        # binary payload decode / perceptual hashing / feature extraction
-        # — not SQL-expressible; covered by round-trip unit tests
-        # (tests/test_images.py, tests/test_media.py) + driver rows-only
-        "image_validate_summary",
-        "image_resize_summary",
-        "audio_features_summary",
-        # iterative BPE merge training is not SQL-expressible; covered
-        # by tests/test_bpe.py (hand-checked merges + python oracle)
+        # iterative BPE merge training over the (scale-factor-dependent)
+        # documents text is not SQL-expressible and not pinnable; covered
+        # by tests/test_bpe.py (hand-checked merges + python oracle). The
+        # decode-path queries all carry pinned-fixture oracles now
+        # (fixtures/media_feats.py, fixtures/image_phash.py).
         "bpe_token_stats",
-        "video_frame_sample_motion",
     }
     assert missing == allowed_missing
