@@ -104,27 +104,35 @@ def image_upsert(state_path: str, psnr_floor: float = 40.0):
         v = streaming_validate(batch, psnr_floor=psnr_floor).select(
             "image_id", "accepted", "psnr_db"
         )
-        joined = batch.join(v, "image_id")
-        acc_dir = os.path.join(state_path, f"v{batch_id:09d}")
-        rej_dir = os.path.join(state_path, f"rej{batch_id:09d}")
-        accepted = joined.filter(F.col("accepted")).drop("accepted", "psnr_db")
-        rejected = joined.filter(~F.col("accepted")).drop("accepted")
-        n_acc = accepted.count()
-        n_rej = rejected.count()
-        dirs = list(man["dirs"])
-        rejs = list(man["reject_dirs"])
-        if n_acc:
-            accepted.write.mode("overwrite").parquet(acc_dir)
-            dirs.append(acc_dir)
-        if n_rej:
-            rejected.write.mode("overwrite").parquet(rej_dir)
-            rejs.append(rej_dir)
-        tmp = os.path.join(state_path, "." + _MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(
-                {"batch_id": batch_id, "dirs": dirs, "reject_dirs": rejs}, f
+        # persist the validated batch: the two counts + two writes below
+        # otherwise each re-run the decode/PSNR pass over every payload
+        # (4x decode per batch — the dominant ingest cost at scale)
+        joined = batch.join(v, "image_id").persist()
+        try:
+            acc_dir = os.path.join(state_path, f"v{batch_id:09d}")
+            rej_dir = os.path.join(state_path, f"rej{batch_id:09d}")
+            accepted = joined.filter(F.col("accepted")).drop(
+                "accepted", "psnr_db"
             )
-        os.replace(tmp, os.path.join(state_path, _MANIFEST))  # commit point
+            rejected = joined.filter(~F.col("accepted")).drop("accepted")
+            n_acc = accepted.count()
+            n_rej = rejected.count()
+            dirs = list(man["dirs"])
+            rejs = list(man["reject_dirs"])
+            if n_acc:
+                accepted.write.mode("overwrite").parquet(acc_dir)
+                dirs.append(acc_dir)
+            if n_rej:
+                rejected.write.mode("overwrite").parquet(rej_dir)
+                rejs.append(rej_dir)
+            tmp = os.path.join(state_path, "." + _MANIFEST + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"batch_id": batch_id, "dirs": dirs, "reject_dirs": rejs}, f
+                )
+            os.replace(tmp, os.path.join(state_path, _MANIFEST))  # commit
+        finally:
+            joined.unpersist()
 
     return upsert
 
