@@ -5,6 +5,8 @@ fingerprinting. All integer-deterministic across Spark and DuckDB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -185,7 +187,33 @@ def _bpe_merges(spark: SparkSession, sf_dir: str):
     return m
 
 
-@register("bpe_token_stats")
+_BPE_FIX = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)), "fixtures"
+)
+# The oracle is a pinned fixture computed by the NAIVE reference BPE
+# (oracle/bpe_naive.py — full pair recount per merge, O(len^2) encode;
+# algorithmically independent of operators/bpe.py's incremental
+# implementation). Iterative merge training is not SQL-expressible;
+# the fixture for the corpus at hand is selected by sum(length(text))
+# (sf0.001 and sf0.01 both have 500 docs, so row count cannot
+# discriminate). Regenerate: python scripts/regen_bpe_fixtures.py.
+# Drift-guarded by tests/test_bpe.py::test_spark_path_matches_naive_oracle.
+_BPE_ORACLE_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       CAST(n_chars_in_words AS BIGINT) AS n_chars_in_words
+FROM read_csv('{os.path.join(_BPE_FIX, "bpe_stats_sf0001.csv")}', header=true)
+WHERE (SELECT sum(length(text)) FROM documents) = 153156
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), CAST(n_words AS BIGINT),
+       CAST(n_bpe_tokens AS BIGINT), CAST(n_chars_in_words AS BIGINT)
+FROM read_csv('{os.path.join(_BPE_FIX, "bpe_stats_sf001.csv")}', header=true)
+WHERE (SELECT sum(length(text)) FROM documents) = 149174
+"""
+
+
+@register("bpe_token_stats", _BPE_ORACLE_SQL)
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token accounting under a real corpus-trained BPE
     tokenizer ({n} merges over the top-{v} word types): word count,

@@ -98,3 +98,37 @@ def test_registered_query_runs(spark):
         F.col("n_bpe_tokens") > F.col("n_chars_in_words") + F.col("n_words")
     ).count()
     assert bad == 0
+
+
+def test_spark_path_matches_naive_oracle(spark):
+    """Drift guard for the pinned bpe_token_stats oracle fixtures: the
+    engine's incremental trainer + Arrow-batched encoder must agree
+    with the algorithmically independent naive reference
+    (oracle/bpe_naive.py, full pair recount per merge) on the real
+    sf0.001 corpus — same constants as the registered query."""
+    from gocrawler_spark.oracle import bpe_naive as NB
+    from gocrawler_spark.queries.text_q import _BPE_MAX_TYPES, _BPE_N_MERGES
+
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    doc_ids = [r["doc_id"] for r in rows]
+    texts = [r["text"] for r in rows]
+
+    naive_merges = NB.naive_train(texts, _BPE_N_MERGES, _BPE_MAX_TYPES)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eng_merges = BPE.train_bpe(
+        docs, n_merges=_BPE_N_MERGES, max_types=_BPE_MAX_TYPES
+    )
+    assert eng_merges == naive_merges
+
+    want = {
+        r[0]: r[1:] for r in NB.naive_doc_stats(doc_ids, texts, naive_merges)
+    }
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["n_chars_in_words"])
+        for r in BPE.bpe_doc_stats(docs, eng_merges).collect()
+    }
+    assert got == want
