@@ -83,7 +83,19 @@ HEADLINE = [
     "image_caption_dedup",
     "caption_decontaminate",
     "image_dedup_clusters",
+    "span_dedup_coverage",
 ]
+
+
+def _assert_headline_covers_registry() -> None:
+    """Every registered query must be benched (ordering stays explicit
+    because result-memoized queries attribute shared work to whichever
+    consumer runs first)."""
+    from gocrawler_spark.queries import QUERIES
+
+    missing = set(QUERIES) - set(HEADLINE)
+    stale = set(HEADLINE) - set(QUERIES)
+    assert not missing and not stale, (sorted(missing), sorted(stale))
 
 # synthetic frontier size for the throughput job (local scale; the
 # 1e10 target is reached by sharding the same plan — see BENCH notes)
@@ -305,6 +317,7 @@ def _warm_session(spark) -> None:
 def run_queries(spark) -> dict:
     from gocrawler_spark.queries import QUERIES
 
+    _assert_headline_covers_registry()
     _warm_session(spark)
     out = {}
     for name in HEADLINE:

@@ -423,3 +423,144 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_canonical"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+_SPAN_K = 8  # tokens per exact-dup span (Lee et al. use 50 BPE tokens;
+#              8 whitespace words keeps the testdata non-degenerate)
+# winner key = doc_id * 2^31 + span position: one BIGINT, unique per
+# occurrence, and min() over it IS "earliest (doc_id, pos)" — docs are
+# far below 2^31 tokens so the packing never collides.
+_SPAN_KEY_STRIDE = 2_147_483_648
+
+
+@register(
+    "span_dedup_coverage",
+    f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS W
+  FROM documents
+),
+s AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(W[i:i+{_SPAN_K - 1}], ' ') AS span,
+         doc_id * {_SPAN_KEY_STRIDE} + (i - 1) AS k
+  FROM (SELECT doc_id, W, unnest(range(1, len(W) - {_SPAN_K} + 2)) AS i
+        FROM w WHERE len(W) >= {_SPAN_K})
+),
+win AS (SELECT span, min(k) AS wkey FROM s GROUP BY span),
+dup AS (
+  SELECT s.doc_id, s.pos FROM s JOIN win ON s.span = win.span
+  WHERE s.k <> win.wkey
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + {_SPAN_K}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ni
+  FROM dup
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM isl
+),
+cov AS (
+  SELECT doc_id, island,
+         max(pos) + {_SPAN_K} - min(pos) AS ilen, count(*) AS n_occ
+  FROM isl2 GROUP BY doc_id, island
+),
+agg AS (
+  SELECT doc_id, sum(ilen) AS cov, sum(n_occ) AS n_dup
+  FROM cov GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(len(w.W) AS BIGINT) AS n_tokens,
+       CAST(greatest(len(w.W) - {_SPAN_K} + 1, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(agg.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(agg.cov, 0) AS BIGINT) AS dup_cov_tokens
+FROM documents d
+JOIN w ON d.doc_id = w.doc_id
+LEFT JOIN agg ON d.doc_id = agg.doc_id
+""",
+)
+def span_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span coverage (the suffix-array span-dedup
+    signal of Lee et al. 2021, approximated with fixed-k token spans):
+    for every k-token span of every doc, the globally FIRST occurrence
+    (lowest (doc_id, pos)) wins; every later occurrence marks its
+    [pos, pos+k) token interval as duplicated. Per doc: token count,
+    span count, number of duplicated span occurrences, and the
+    interval-UNION of duplicated spans in tokens (the text a span-level
+    dedup pass would actually cut — overlapping spans are not double
+    counted, via the gaps-and-islands running-max window).
+
+    Complements the doc-level detectors (minhash/simhash/jaccard):
+    span dedup catches boilerplate shared by otherwise-distinct docs.
+
+    Scale: one groupBy on the span (partial-agg min — map-side combine
+    absorbs hot boilerplate spans), one join back on the span (1:N with
+    N on the probe side — no pair explosion), one per-doc window. At
+    100 TB, group on xxhash64(span) instead of the span string to
+    shuffle 8 bytes per occurrence; collisions only merge spans (rate
+    ~n²/2⁶⁴), acceptable for a cut-list. The window partitions by
+    doc_id — bounded by doc length, never corpus-wide."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("W"),
+    )
+    spans = toks.filter(F.size("W") >= _SPAN_K).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("W") - (_SPAN_K - 1)),
+                lambda i: F.array_join(F.slice("W", i, _SPAN_K), " "),
+            )
+        ).alias("pos", "span"),
+    )
+    key = F.col("doc_id") * F.lit(_SPAN_KEY_STRIDE) + F.col("pos")
+    win = spans.groupBy("span").agg(F.min(key).alias("wkey"))
+    dup = (
+        spans.join(win, "span")
+        .filter(key != F.col("wkey"))
+        .select("doc_id", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + _SPAN_K).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dup.withColumn(
+        "ni",
+        (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("long"),
+    ).withColumn(
+        "island",
+        F.sum("ni").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    cov = isl.groupBy("doc_id", "island").agg(
+        (F.max("pos") + _SPAN_K - F.min("pos")).alias("ilen"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    agg = cov.groupBy("doc_id").agg(
+        F.sum("ilen").alias("cov"), F.sum("n_occ").alias("n_dup")
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("W").cast("long").alias("n_tokens"),
+        F.greatest(F.size("W") - (_SPAN_K - 1), F.lit(0))
+        .cast("long")
+        .alias("n_spans"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce(F.col("cov"), F.lit(0)).cast("long").alias(
+            "dup_cov_tokens"
+        ),
+    )

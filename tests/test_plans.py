@@ -104,3 +104,12 @@ def test_repetition_no_cartesian_and_narrow_scan(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     for s in _read_schemas(plan):
         assert len(s.split(",")) <= 2, s
+
+
+def test_span_dedup_narrow_scan_no_cartesian(spark):
+    plan = _plan(spark, "span_dedup_coverage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # reads only (doc_id, text)
+    for s in _read_schemas(plan):
+        assert len(s.split(",")) <= 2, s
