@@ -84,6 +84,7 @@ HEADLINE = [
     "caption_decontaminate",
     "image_dedup_clusters",
     "span_dedup_coverage",
+    "image_curation_filter",
 ]
 
 

@@ -37,6 +37,7 @@ from gocrawler_spark.operators import images as IM
 from gocrawler_spark.queries import load, register
 from gocrawler_spark.queries.crawler_q import CFG, STOP_RX, TOKS_SQL
 from gocrawler_spark.queries.dedup_q import SHINGLE_N
+from gocrawler_spark.fixtures.image_phash import PHASH_VALUES_SQL
 from gocrawler_spark.queries.image_q import (
     N_DOCS,
     PHASH_SQL,
@@ -279,4 +280,101 @@ def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("cluster_id")).cast("long").alias(
             "is_canonical"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LAION-style image+caption curation gate thresholds. Integer-exact on
+# both engines: the aspect rule is written as greatest > 2*least (pure
+# int compare), never as a float ratio.
+_MIN_SIDE = 24
+# aspect rule: greatest/least > 3/2, written 2*greatest > 3*least so it
+# stays in integers (ratio 2 is unreachable here: any such image is
+# already below the min-side floor on this synthetic table)
+_ASPECT_NUM = 3
+_ASPECT_DEN = 2
+_MIN_CAP_WORDS = 12
+
+
+@register(
+    "image_curation_filter",
+    f"""
+WITH m AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS image_id,
+         CASE WHEN d.doc_id % 5 = 1 AND d.doc_id > 0
+              THEN 16 + (d.doc_id - 1) % 49 ELSE 16 + d.doc_id % 49 END AS w,
+         CASE WHEN d.doc_id % 5 = 1 AND d.doc_id > 0
+              THEN 16 + ((d.doc_id - 1) * 7) % 49
+              ELSE 16 + (d.doc_id * 7) % 49 END AS h,
+         len(list_filter(regexp_split_to_array(substr(d.text, 1, 64), '\\s+'),
+                         x -> x <> '')) AS n_cap_words,
+         f.phash
+  FROM documents d JOIN (VALUES {PHASH_VALUES_SQL}) f(did, phash) ON d.doc_id = f.did
+  WHERE d.doc_id < {N_DOCS}
+),
+g AS (
+  SELECT m.*, count(*) OVER (PARTITION BY phash) AS phash_n FROM m
+)
+SELECT image_id,
+       CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+       CAST(n_cap_words AS BIGINT) AS n_cap_words,
+       CASE
+         WHEN least(w, h) < {_MIN_SIDE} THEN 'too_small'
+         WHEN {_ASPECT_DEN} * greatest(w, h) > {_ASPECT_NUM} * least(w, h) THEN 'aspect'
+         WHEN n_cap_words < {_MIN_CAP_WORDS} THEN 'caption_short'
+         WHEN phash_n > 1 THEN 'phash_dup'
+         ELSE 'ok'
+       END AS reason,
+       CAST(least(w, h) >= {_MIN_SIDE}
+            AND {_ASPECT_DEN} * greatest(w, h) <= {_ASPECT_NUM} * least(w, h)
+            AND n_cap_words >= {_MIN_CAP_WORDS}
+            AND phash_n = 1 AS BIGINT) AS keep
+FROM g
+""",
+)
+def image_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style curation gate over the image+caption table — the
+    image-axis twin of gopher_quality_filter: per image, a keep/drop
+    verdict plus the FIRST failing gate in a fixed order (min-side
+    floor, aspect-ratio band, caption word-count floor, exact-phash
+    duplicate). Every rule is integer-exact (the aspect band compares
+    greatest > 2*least, never a float ratio), so the verdict is
+    engine-exact.
+
+    Scale: one metadata-only pass over the image table (the binary
+    payload column is never read), one window count on phash (64-bit
+    key — partial-agg-friendly; at 100 TB replace the window with a
+    groupBy-count + broadcast-join of the tiny dup-key set). The DuckDB
+    oracle re-derives w/h/caption from documents (the synthetic table
+    is a pure function of doc_id; queries/image_q.py) and reads phash
+    from the pinned fixture."""
+    imgs = images_from_documents(spark, sf_dir).select(
+        "image_id", "w", "h", "caption", "phash"
+    )
+    n_words = F.size(F.filter(F.split("caption", r"\s+"), lambda x: x != ""))
+    g = imgs.select(
+        "image_id",
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        n_words.cast("long").alias("n_cap_words"),
+        "phash",
+    ).withColumn(
+        "phash_n", F.count(F.lit(1)).over(Window.partitionBy("phash"))
+    )
+    small = F.least("w", "h") < _MIN_SIDE
+    aspect = _ASPECT_DEN * F.greatest("w", "h") > _ASPECT_NUM * F.least("w", "h")
+    cap_short = F.col("n_cap_words") < _MIN_CAP_WORDS
+    dup = F.col("phash_n") > 1
+    return g.select(
+        "image_id",
+        "w",
+        "h",
+        "n_cap_words",
+        F.when(small, "too_small")
+        .when(aspect, "aspect")
+        .when(cap_short, "caption_short")
+        .when(dup, "phash_dup")
+        .otherwise("ok")
+        .alias("reason"),
+        (~small & ~aspect & ~cap_short & ~dup).cast("long").alias("keep"),
     )

@@ -58,3 +58,28 @@ def test_caption_groups_share_a_cluster(spark):
             f"caption group member {g.image_id} split from its "
             f"canonical {g.canonical_id}"
         )
+
+
+def test_curation_filter_gate_order_and_selectivity(spark):
+    """The keep/drop funnel must be internally consistent: keep=1 iff
+    reason='ok', reason respects the fixed gate order (a too-small
+    image is never reported as a later failure), and every gate is
+    non-degenerate on the synthetic table."""
+    from gocrawler_spark.queries.image_pipeline_q import (
+        _ASPECT_DEN,
+        _ASPECT_NUM,
+        _MIN_SIDE,
+        image_curation_filter,
+    )
+
+    rows = image_curation_filter(spark, SF_DIR).collect()
+    reasons = {}
+    for r in rows:
+        assert (r["reason"] == "ok") == (r["keep"] == 1), r
+        if min(r["w"], r["h"]) < _MIN_SIDE:
+            assert r["reason"] == "too_small", r
+        elif _ASPECT_DEN * max(r["w"], r["h"]) > _ASPECT_NUM * min(r["w"], r["h"]):
+            assert r["reason"] == "aspect", r
+        reasons[r["reason"]] = reasons.get(r["reason"], 0) + 1
+    for want in ("too_small", "aspect", "caption_short", "phash_dup", "ok"):
+        assert reasons.get(want, 0) > 0, (want, reasons)
