@@ -85,6 +85,7 @@ HEADLINE = [
     "image_dedup_clusters",
     "span_dedup_coverage",
     "image_curation_filter",
+    "pii_scrub_stats",
 ]
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gocrawler_spark.functions import pii as PII
 from gocrawler_spark.functions import text as TX
 from gocrawler_spark.queries import load, memo_result, register
 from gocrawler_spark.queries.crawler_q import TOKS_SQL
@@ -300,4 +301,82 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0).cast("bigint"))
         .alias("top_bigram_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub stage. The synthetic documents text contains no PII (pure
+# word streams), so the oracle-gated query runs over a deterministic
+# inline fixture — the same pinned-fixture pattern the phash/media
+# queries use — while the column functions (functions/pii.py) apply to
+# any text column. The fixture mixes emails, NANP phones, IPv4s,
+# overlap cases (digits inside an email), and clean rows.
+_PII_FIXTURE = [
+    (0, "contact me at alice.smith@example.com for details"),
+    (1, "call (555) 123-4567 or +1 555.987.6543 before noon"),
+    (2, "server at 192.168.10.25 and backup at 10.0.0.1 are up"),
+    (3, "bob_99@mail.example.org logged in from 172.16.254.3"),
+    (4, "plain text row with no identifiers at all"),
+    (5, "digits 5551234567 without separators are not a phone"),
+    (6, "mixed: carol+test@sub.domain.io then 555-000-1111 then 8.8.8.8"),
+    (7, "edge 256.1.1.1 is not an ipv4 but 255.255.255.255 is"),
+    (8, "dave@example.com dave@example.com twice on one line"),
+    (9, "phone-like 123-45-6789 ssn pattern must NOT match"),
+]
+
+_PII_VALUES = ", ".join(
+    "({}, '{}')".format(i, t) for i, t in _PII_FIXTURE
+)
+
+
+@register(
+    "pii_scrub_stats",
+    f"""
+WITH fixture(doc_id, text) AS (VALUES {_PII_VALUES})
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, '{PII.EMAIL_RX}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII.PHONE_RX}')) AS BIGINT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(text, '{PII.IPV4_RX}')) AS BIGINT)
+         AS n_ipv4,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{PII.EMAIL_RX}', '<EMAIL>', 'g'),
+           '{PII.PHONE_RX}', '<PHONE>', 'g'),
+         '{PII.IPV4_RX}', '<IP>', 'g') AS redacted,
+       CAST(length(regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{PII.EMAIL_RX}', '<EMAIL>', 'g'),
+           '{PII.PHONE_RX}', '<PHONE>', 'g'),
+         '{PII.IPV4_RX}', '<IP>', 'g')) AS BIGINT) AS redacted_len
+FROM fixture
+""",
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-tier PII scrub (emails / NANP phones / IPv4): per row,
+    match counts per category and the redacted text under the fixed
+    redaction order (emails, phones, IPs — the order is part of the
+    contract so overlapping matches resolve identically on both
+    engines; see functions/pii.py).
+
+    Scale: pure codegen'd regex projection — scan-only, no shuffle, no
+    Python; the same shape as gopher_quality_filter. The redacted
+    STRING is compared across engines, which pins Java-regex and RE2
+    to byte-identical replace semantics for these patterns."""
+    rows = spark.createDataFrame(_PII_FIXTURE, "doc_id long, text string")
+    red = PII.redact(F.col("text"))
+    return rows.select(
+        "doc_id",
+        PII.count_matches(F.col("text"), PII.EMAIL_RX)
+        .cast("long")
+        .alias("n_emails"),
+        PII.count_matches(F.col("text"), PII.PHONE_RX)
+        .cast("long")
+        .alias("n_phones"),
+        PII.count_matches(F.col("text"), PII.IPV4_RX)
+        .cast("long")
+        .alias("n_ipv4"),
+        red.alias("redacted"),
+        F.length(red).cast("long").alias("redacted_len"),
     )

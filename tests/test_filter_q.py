@@ -107,3 +107,35 @@ def test_curation_verdict_consistency(spark):
     # each early drop reason present
     reasons = {r["drop_reason"] for r in rows}
     assert "" in reasons and "benchmark" in reasons
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    """Hand-verified expectations over the inline PII fixture: the
+    SSN-shaped and separator-free digit runs must NOT match, invalid
+    octets must not match IPv4, and redaction order is emails first."""
+    from gocrawler_spark.queries.filter_q import pii_scrub_stats
+
+    rows = {
+        r["doc_id"]: r
+        for r in pii_scrub_stats(spark, "/root/testdata/sf0.001").collect()
+    }
+    want = {
+        0: (1, 0, 0),
+        1: (0, 2, 0),
+        2: (0, 0, 2),
+        3: (1, 0, 1),
+        4: (0, 0, 0),
+        5: (0, 0, 0),  # 5551234567: no separators -> not a phone
+        6: (1, 1, 1),
+        7: (0, 0, 1),  # 256.1.1.1 invalid octet; \b blocks a 56.1.1.1 match
+        8: (2, 0, 0),
+        9: (0, 0, 0),  # SSN-shaped 123-45-6789 must not match the phone rx
+    }
+    got = {
+        k: (r["n_emails"], r["n_phones"], r["n_ipv4"]) for k, r in rows.items()
+    }
+    assert got == want
+    assert rows[0]["redacted"] == "contact me at <EMAIL> for details"
+    assert rows[6]["redacted"] == "mixed: <EMAIL> then <PHONE> then <IP>"
+    for r in rows.values():
+        assert r["redacted_len"] == len(r["redacted"])
