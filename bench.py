@@ -86,6 +86,7 @@ HEADLINE = [
     "span_dedup_coverage",
     "image_curation_filter",
     "pii_scrub_stats",
+    "ann_recall_at_k",
 ]
 
 

@@ -971,3 +971,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("query_id", "neighbor_id", "cos_micro", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN index-quality eval: recall@5 of the IVF scale path against the
+# brute-force ground truth. A 100 TB similarity-search deployment ships
+# this eval next to the index (it is how nprobe/K are tuned); both
+# sides already exist as oracle-checked queries, so the oracle here is
+# their SQL composed verbatim (DuckDB allows a full WITH-query as a
+# CTE body).
+from gocrawler_spark.queries import ORACLES as _ORACLES
+from gocrawler_spark.queries import QUERIES
+
+_K_EVAL = 5
+
+
+@register(
+    "ann_recall_at_k",
+    f"""
+WITH ext AS ({_ORACLES["embedding_knn"]}),
+ivf AS ({_ORACLES["ann_ivf_topk"]}),
+hits AS (
+  SELECT e.query_id, count(i.neighbor_id) AS n_hits
+  FROM ext e LEFT JOIN ivf i
+    ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits * {1000000 // _K_EVAL} AS BIGINT) AS recall_ppm
+FROM hits
+""",
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of ann_ivf_topk vs the embedding_knn exact ground
+    truth, per query vector (recall_ppm = hits/5 in parts-per-million,
+    integer-exact).
+
+    Scale: both inputs are top-k-bounded (10 queries x 5 rows), so the
+    eval join is trivially broadcast; at 1e10 vectors the ground truth
+    comes from the same exact scorer run over a sampled query set —
+    the eval cost is O(sample), never O(corpus)."""
+    ext = QUERIES["embedding_knn"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = (
+        QUERIES["ann_ivf_topk"](spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    j = ext.join(ivf, ["query_id", "neighbor_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_hits"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * (1000000 // _K_EVAL)
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+    )
