@@ -87,6 +87,7 @@ HEADLINE = [
     "image_curation_filter",
     "pii_scrub_stats",
     "ann_recall_at_k",
+    "ann_pq_adc_topk",
 ]
 
 

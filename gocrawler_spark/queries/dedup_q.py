@@ -1031,3 +1031,184 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ADC search — the memory-compression ANN
+# path: 64-dim float vectors become M=8 sub-codes of 4 bits (K=16
+# centroids per subspace) = 4 bytes/vector, a 64x compression, and
+# queries score candidates via per-subspace lookup tables (asymmetric
+# distance computation) without touching the original vectors. At 1e10
+# vectors this is what makes the index fit in executor memory.
+# Codebooks here are the md5-derived deterministic stand-in the IVF
+# query established (training them is a separate offline k-means stage;
+# the engine path under test is encode + LUT + ADC), so the DuckDB
+# oracle recomputes EVERYTHING from scratch in SQL — no pinned results.
+_PQ_M = 8  # subspaces (8 dims each over the 64-dim embeddings)
+_PQ_K = 16  # centroids per subspace
+
+
+def _pq_codebooks():
+    """(M, K, 8) deterministic codebook tensor, md5-derived rationals —
+    identical arithmetic in the SQL oracle."""
+    import hashlib
+
+    import numpy as np
+
+    W = np.empty((_PQ_M, _PQ_K, 8), dtype=np.float64)
+    for m in range(_PQ_M):
+        for k in range(_PQ_K):
+            for d in range(8):
+                h = int(
+                    hashlib.md5(f"pq{m}/{k}/{d}".encode()).hexdigest()[:15], 16
+                )
+                W[m, k, d] = (h % 2001 - 1000) / 1000.0
+    return W
+
+
+_PQ_CENTS_SQL = f"""
+pqc AS (
+  SELECT m.m AS m, k.k AS k, d.d AS d,
+         ({_md5_64_sql("'pq' || m.m || '/' || k.k || '/' || d.d")} % 2001 - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(range({_PQ_M})) AS m) m,
+       (SELECT unnest(range({_PQ_K})) AS k) k,
+       (SELECT unnest(range(8)) AS d) d
+),
+xs AS (
+  SELECT e.vec_id, (x.i - 1) // 8 AS m, (x.i - 1) % 8 AS d, x.x
+  FROM embeddings e,
+       LATERAL (SELECT unnest(e.embedding) AS x,
+                       generate_subscripts(e.embedding, 1) AS i) x
+),
+dist AS (
+  SELECT xs.vec_id, xs.m, pqc.k,
+         sum(CAST(round((xs.x - pqc.w) * (xs.x - pqc.w) * 1e9) AS BIGINT))
+           AS dist_s
+  FROM xs JOIN pqc ON pqc.m = xs.m AND pqc.d = xs.d
+  GROUP BY xs.vec_id, xs.m, pqc.k
+),
+codes AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist_s ASC, k ASC) AS r
+    FROM dist
+  ) WHERE r = 1
+),
+lut AS (
+  SELECT xs.vec_id AS query_id, xs.m, pqc.k,
+         sum(CAST(round(xs.x * pqc.w * 1e12) AS BIGINT)) AS dot_s
+  FROM xs JOIN pqc ON pqc.m = xs.m AND pqc.d = xs.d
+  WHERE xs.vec_id < 10
+  GROUP BY xs.vec_id, xs.m, pqc.k
+)
+"""
+
+
+@register(
+    "ann_pq_adc_topk",
+    f"""
+WITH {_PQ_CENTS_SQL},
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.dot_s) AS adc_s
+  FROM codes c JOIN lut l ON l.m = c.m AND l.k = c.k
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, neighbor_id, CAST(adc_s AS BIGINT) AS adc_s,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT query_id, neighbor_id, adc_s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_s DESC, neighbor_id ASC) AS rnk
+  FROM adc
+) WHERE rnk <= 5
+""",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-5 per query vector: encode the corpus to (M=8, K=16)
+    sub-codes (nearest centroid per subspace by scaled-int squared
+    distance, ties to the lowest code), build per-query LUTs of
+    scaled-int subspace dots, and rank candidates by the summed LUT
+    entries — the vectors themselves are never touched at query time.
+
+    Physical plan: ONE numpy mapInPandas pass over the corpus does
+    encode + ADC together (the 10-query LUT tensor is driver-built and
+    closure-broadcast, 10x8x16 BIGINTs) and emits only per-batch
+    per-query top-5 partials, exactly the embedding_knn shape — no
+    shuffle of scored pairs, no join. At 1e10 vectors the same pass
+    reads the 4-byte codes table instead of raw vectors (64x less IO),
+    and the LUT build stays O(queries)."""
+    import numpy as np
+    import pandas as pd
+
+    W = _pq_codebooks()  # (M, K, 8)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    qrows = emb.filter(F.col("vec_id") < 10).collect()
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    nq = len(q_ids)
+    # LUT[j, m, k] = scaled-int dot of query j's subvector m with
+    # centroid (m, k) — same rounding as the SQL lut CTE
+    QS = Q.reshape(nq, _PQ_M, 8)
+    # per-dim rounding happens BEFORE the sum (order-independent
+    # exactness contract, same as the SQL lut CTE)
+    LUT = (
+        _round_half_away(QS[:, :, None, :] * W[None, :, :, :] * 1e12)
+        .astype(np.int64)
+        .sum(axis=-1)
+    )
+
+    def encode_and_score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            XS = X.reshape(len(X), _PQ_M, 8)
+            # (n, M, K) scaled-int squared distances; argmin ties to
+            # the lowest k, matching row_number(dist_s ASC, k ASC)
+            diff = XS[:, :, None, :] - W[None, :, :, :]
+            dist = (
+                _round_half_away(diff * diff * 1e9)
+                .astype(np.int64)
+                .sum(axis=-1)
+            )
+            codes = np.argmin(dist, axis=2)  # (n, M)
+            out = []
+            for j in range(nq):
+                adc = LUT[j][np.arange(_PQ_M), codes].sum(axis=1)
+                keep = ids != q_ids[j]
+                if not keep.any():
+                    continue
+                d = pd.DataFrame(
+                    {
+                        "query_id": int(q_ids[j]),
+                        "neighbor_id": ids[keep],
+                        "adc_s": adc[keep],
+                    }
+                )
+                # per-batch partial top-5 (ties -> lowest neighbor_id)
+                d = d.sort_values(
+                    ["adc_s", "neighbor_id"], ascending=[False, True]
+                ).head(5)
+                out.append(d)
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partials = emb.mapInPandas(
+        encode_and_score, "query_id long, neighbor_id long, adc_s long"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_s"), F.asc("neighbor_id")
+    )
+    return (
+        partials.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "query_id", "neighbor_id", "adc_s", F.col("rnk").cast("long").alias("rnk")
+        )
+    )
