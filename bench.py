@@ -99,7 +99,12 @@ def _assert_headline_covers_registry() -> None:
 
     missing = set(QUERIES) - set(HEADLINE)
     stale = set(HEADLINE) - set(QUERIES)
-    assert not missing and not stale, (sorted(missing), sorted(stale))
+    if missing or stale:
+        # not assert: must fire even under python -O
+        raise RuntimeError(
+            f"HEADLINE out of sync with registry: "
+            f"missing={sorted(missing)} stale={sorted(stale)}"
+        )
 
 # synthetic frontier size for the throughput job (local scale; the
 # 1e10 target is reached by sharding the same plan — see BENCH notes)

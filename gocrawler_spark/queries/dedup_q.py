@@ -16,6 +16,8 @@ bucket-equijoin that Spark shuffles on the band key.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -40,6 +42,20 @@ def _md5_64_sql(expr: str) -> str:
 
 def _md5_64(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _md5_rational(key: str) -> float:
+    """Deterministic rational in (-1, 1) from an md5 key — the shared
+    weight generator for LSH planes / IVF centroids / PQ codebooks.
+    n/1000 with |n| <= 1000 so float64 on both engines agrees exactly
+    through the scaled-integer dot products."""
+    h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def _md5_rational_sql(expr: str) -> str:
+    """SQL twin of _md5_rational (same md5 → same rational)."""
+    return f"({_md5_64_sql(expr)} % 2001 - 1000) / 1000.0"
 
 
 # shared: per-doc analyzed-token SHINGLE list (n=3), en docs
@@ -422,6 +438,7 @@ ranked AS (
 SELECT query_id, neighbor_id, cos_micro, rnk FROM ranked WHERE rnk <= 5
 """,
 )
+@memo_result
 def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline over array<float>
     embeddings. float*float products are EXACT in double (24+24 bits),
@@ -492,7 +509,7 @@ def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH planes AS (
   SELECT p.p AS plane, d.d AS dim,
-         ({_md5_64_sql("'plane' || p.p || '/' || d.d")} % 2001 - 1000) / 1000.0 AS w
+         {_md5_rational_sql("'plane' || p.p || '/' || d.d")} AS w
   FROM (SELECT unnest(range(8)) AS p) p, (SELECT unnest(range(64)) AS d) d
 ),
 proj AS (
@@ -519,7 +536,6 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5 arithmetic identical to the SQL) and numpy-applied in one
     mapInPandas pass — no posexplode (64x row blowup), no join, no
     per-(vec, plane) shuffle. Embarrassingly parallel per partition."""
-    import hashlib
 
     import numpy as np
     import pandas as pd
@@ -527,8 +543,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     W = np.empty((8, 64), dtype=np.float64)
     for p in range(8):
         for d in range(64):
-            h = int(hashlib.md5(f"plane{p}/{d}".encode()).hexdigest()[:15], 16)
-            W[p, d] = (h % 2001 - 1000) / 1000.0
+            W[p, d] = _md5_rational(f"plane{p}/{d}")
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
@@ -661,7 +676,7 @@ _COS_THRESHOLD_MICRO = 200_000  # cos >= 0.2
     f"""
 WITH planes AS (
   SELECT p.p AS plane, d.d AS dim,
-         ({_md5_64_sql("'plane' || p.p || '/' || d.d")} % 2001 - 1000) / 1000.0 AS w
+         {_md5_rational_sql("'plane' || p.p || '/' || d.d")} AS w
   FROM (SELECT unnest(range(8)) AS p) p, (SELECT unnest(range(64)) AS d) d
 ),
 proj AS (
@@ -775,22 +790,20 @@ _IVF_NPROBE = 4
 def _ivf_centroids():
     """K x 64 deterministic centroid matrix, md5-derived rationals —
     identical arithmetic in the SQL oracle."""
-    import hashlib
 
     import numpy as np
 
     C = np.empty((_IVF_K, 64), dtype=np.float64)
     for c in range(_IVF_K):
         for d in range(64):
-            h = int(hashlib.md5(f"cent{c}/{d}".encode()).hexdigest()[:15], 16)
-            C[c, d] = (h % 2001 - 1000) / 1000.0
+            C[c, d] = _md5_rational(f"cent{c}/{d}")
     return C
 
 
 _IVF_CENTS_SQL = f"""
 cents AS (
   SELECT c.c AS cell, d.d AS dim,
-         ({_md5_64_sql("'cent' || c.c || '/' || d.d")} % 2001 - 1000) / 1000.0 AS w
+         {_md5_rational_sql("'cent' || c.c || '/' || d.d")} AS w
   FROM (SELECT unnest(range({_IVF_K})) AS c) c,
        (SELECT unnest(range(64)) AS d) d
 ),
@@ -866,6 +879,7 @@ ranked AS (
 SELECT query_id, neighbor_id, cos_micro, rnk FROM ranked WHERE rnk <= 5
 """,
 )
+@memo_result
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: the coarse-quantizer scale path. Corpus vectors
     are assigned to their nearest of K=16 md5-derived centroids
@@ -1051,7 +1065,6 @@ _PQ_K = 16  # centroids per subspace
 def _pq_codebooks():
     """(M, K, 8) deterministic codebook tensor, md5-derived rationals —
     identical arithmetic in the SQL oracle."""
-    import hashlib
 
     import numpy as np
 
@@ -1059,17 +1072,14 @@ def _pq_codebooks():
     for m in range(_PQ_M):
         for k in range(_PQ_K):
             for d in range(8):
-                h = int(
-                    hashlib.md5(f"pq{m}/{k}/{d}".encode()).hexdigest()[:15], 16
-                )
-                W[m, k, d] = (h % 2001 - 1000) / 1000.0
+                W[m, k, d] = _md5_rational(f"pq{m}/{k}/{d}")
     return W
 
 
 _PQ_CENTS_SQL = f"""
 pqc AS (
   SELECT m.m AS m, k.k AS k, d.d AS d,
-         ({_md5_64_sql("'pq' || m.m || '/' || k.k || '/' || d.d")} % 2001 - 1000) / 1000.0 AS w
+         {_md5_rational_sql("'pq' || m.m || '/' || k.k || '/' || d.d")} AS w
   FROM (SELECT unnest(range({_PQ_M})) AS m) m,
        (SELECT unnest(range({_PQ_K})) AS k) k,
        (SELECT unnest(range(8)) AS d) d

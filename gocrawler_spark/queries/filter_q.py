@@ -329,27 +329,30 @@ _PII_VALUES = ", ".join(
 )
 
 
+def _redact_sql(expr: str) -> str:
+    """Nested DuckDB regexp_replace chain generated from the SAME
+    REDACTIONS tuple the Spark side applies — one source of truth for
+    both the patterns and the contract order."""
+    for rx, token in PII.REDACTIONS:
+        expr = f"regexp_replace({expr}, '{rx}', '{token}', 'g')"
+    return expr
+
+
+_PII_COUNT_COLS = "\n".join(
+    f"       CAST(len(regexp_extract_all(text, '{rx}')) AS BIGINT)"
+    f" AS {name},"
+    for (rx, _), name in zip(PII.REDACTIONS, ("n_emails", "n_phones", "n_ipv4"))
+)
+
+
 @register(
     "pii_scrub_stats",
     f"""
 WITH fixture(doc_id, text) AS (VALUES {_PII_VALUES})
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(len(regexp_extract_all(text, '{PII.EMAIL_RX}')) AS BIGINT)
-         AS n_emails,
-       CAST(len(regexp_extract_all(text, '{PII.PHONE_RX}')) AS BIGINT)
-         AS n_phones,
-       CAST(len(regexp_extract_all(text, '{PII.IPV4_RX}')) AS BIGINT)
-         AS n_ipv4,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(text, '{PII.EMAIL_RX}', '<EMAIL>', 'g'),
-           '{PII.PHONE_RX}', '<PHONE>', 'g'),
-         '{PII.IPV4_RX}', '<IP>', 'g') AS redacted,
-       CAST(length(regexp_replace(
-         regexp_replace(
-           regexp_replace(text, '{PII.EMAIL_RX}', '<EMAIL>', 'g'),
-           '{PII.PHONE_RX}', '<PHONE>', 'g'),
-         '{PII.IPV4_RX}', '<IP>', 'g')) AS BIGINT) AS redacted_len
+{_PII_COUNT_COLS}
+       {_redact_sql("text")} AS redacted,
+       CAST(length({_redact_sql("text")}) AS BIGINT) AS redacted_len
 FROM fixture
 """,
 )

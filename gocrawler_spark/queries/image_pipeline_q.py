@@ -42,6 +42,7 @@ from gocrawler_spark.queries.image_q import (
     N_DOCS,
     PHASH_SQL,
     images_from_documents,
+    wh_case_sql,
 )
 from gocrawler_spark.queries.pipeline_q import connected_components
 
@@ -285,8 +286,8 @@ def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # LAION-style image+caption curation gate thresholds. Integer-exact on
-# both engines: the aspect rule is written as greatest > 2*least (pure
-# int compare), never as a float ratio.
+# both engines: the aspect rule is a pure int compare, never a float
+# ratio.
 _MIN_SIDE = 24
 # aspect rule: greatest/least > 3/2, written 2*greatest > 3*least so it
 # stays in integers (ratio 2 is unreachable here: any such image is
@@ -301,11 +302,7 @@ _MIN_CAP_WORDS = 12
     f"""
 WITH m AS (
   SELECT CAST(d.doc_id AS VARCHAR) AS image_id,
-         CASE WHEN d.doc_id % 5 = 1 AND d.doc_id > 0
-              THEN 16 + (d.doc_id - 1) % 49 ELSE 16 + d.doc_id % 49 END AS w,
-         CASE WHEN d.doc_id % 5 = 1 AND d.doc_id > 0
-              THEN 16 + ((d.doc_id - 1) * 7) % 49
-              ELSE 16 + (d.doc_id * 7) % 49 END AS h,
+         {wh_case_sql("d.doc_id")},
          len(list_filter(regexp_split_to_array(substr(d.text, 1, 64), '\\s+'),
                          x -> x <> '')) AS n_cap_words,
          f.phash
@@ -337,9 +334,9 @@ def image_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     image-axis twin of gopher_quality_filter: per image, a keep/drop
     verdict plus the FIRST failing gate in a fixed order (min-side
     floor, aspect-ratio band, caption word-count floor, exact-phash
-    duplicate). Every rule is integer-exact (the aspect band compares
-    greatest > 2*least, never a float ratio), so the verdict is
-    engine-exact.
+    duplicate). Every rule is integer-exact (the 3:2 aspect band
+    compares 2*greatest > 3*least, never a float ratio), so the
+    verdict is engine-exact.
 
     Scale: one metadata-only pass over the image table (the binary
     payload column is never read), one window count on phash (64-bit

@@ -50,6 +50,19 @@ ph AS (
 """
 
 
+def wh_case_sql(ref: str = "doc_id") -> str:
+    """SQL fragment deriving the synthetic ``w, h`` columns from a
+    doc-id expression, including the %5==1 near-dup-twin rule (the twin
+    renders the PREVIOUS doc's pixels, so it inherits that doc's
+    dimensions — see module docstring). Shared by every oracle that
+    re-derives image metadata so the derivation lives in one place."""
+    return f"""CASE WHEN {ref} % 5 = 1 AND {ref} > 0
+                  THEN 16 + ({ref} - 1) % 49 ELSE 16 + {ref} % 49 END AS w,
+             CASE WHEN {ref} % 5 = 1 AND {ref} > 0
+                  THEN 16 + (({ref} - 1) * 7) % 49
+                  ELSE 16 + ({ref} * 7) % 49 END AS h"""
+
+
 def images_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load(spark, sf_dir, "documents")
@@ -100,11 +113,7 @@ def images_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(LENGTH(caption)) AS BIGINT) AS sum_caption_len
     FROM (
       SELECT CASE WHEN doc_id % 3 = 0 THEN 'qjpg' ELSE 'png' END AS fmt,
-             CASE WHEN doc_id % 5 = 1 AND doc_id > 0
-                  THEN 16 + (doc_id - 1) % 49 ELSE 16 + doc_id % 49 END AS w,
-             CASE WHEN doc_id % 5 = 1 AND doc_id > 0
-                  THEN 16 + ((doc_id - 1) * 7) % 49
-                  ELSE 16 + (doc_id * 7) % 49 END AS h,
+             {wh_case_sql("doc_id")},
              SUBSTR(text, 1, 64) AS caption
       FROM documents WHERE doc_id < {N_DOCS}
     ) GROUP BY fmt ORDER BY fmt
