@@ -88,6 +88,7 @@ HEADLINE = [
     "pii_scrub_stats",
     "ann_recall_at_k",
     "ann_pq_adc_topk",
+    "image_embedding_near_dups",
 ]
 
 

@@ -36,7 +36,8 @@ from gocrawler_spark.functions import text as TX
 from gocrawler_spark.operators import images as IM
 from gocrawler_spark.queries import load, register
 from gocrawler_spark.queries.crawler_q import CFG, STOP_RX, TOKS_SQL
-from gocrawler_spark.queries.dedup_q import SHINGLE_N
+from gocrawler_spark.queries.dedup_q import SHINGLE_N, _md5_64_sql, _round_half_away
+from gocrawler_spark.fixtures.image_feats import FEATS_VALUES_SQL
 from gocrawler_spark.fixtures.image_phash import PHASH_VALUES_SQL
 from gocrawler_spark.queries.image_q import (
     N_DOCS,
@@ -374,4 +375,168 @@ def image_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("reason"),
         (~small & ~aspect & ~cap_short & ~dup).cast("long").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pixel-embedding near-dup: the image-axis twin of
+# embedding_cosine_near_dups. The embedding is DERIVED FROM THE DECODED
+# PIXELS (operators/images.grid_feature_vector — all-int64, so every
+# dot product is engine-exact), not read from a column; the similarity
+# stack on top is the same 8-plane LSH bucket + in-bucket cosine.
+_IMG_PLANES = 8
+_IMG_COS_THRESHOLD_MICRO = 990_000  # twins >= 0.9998, all others <= 0.968
+
+_FCOLS = ", ".join(f"f{i}" for i in range(IM.GRID_DIMS))
+_FCASE = " ".join(f"WHEN {i} THEN f{i}" for i in range(IM.GRID_DIMS))
+
+
+def _img_plane_weights():
+    """(P, D) int64 plane matrix, md5-derived ints in [-1000, 1000] —
+    the integer sibling of dedup_q._md5_rational (same md5 → same
+    value), exact under int64 dot products on both engines."""
+    import hashlib
+
+    import numpy as np
+
+    W = np.zeros((_IMG_PLANES, IM.GRID_DIMS), dtype=np.int64)
+    for p in range(_IMG_PLANES):
+        for d in range(IM.GRID_DIMS):
+            h = int(hashlib.md5(f"imgplane{p}/{d}".encode()).hexdigest()[:15], 16)
+            W[p, d] = h % 2001 - 1000
+    return W
+
+
+@register(
+    "image_embedding_near_dups",
+    f"""
+WITH feats AS (
+  SELECT f.did, {_FCOLS}
+  FROM (VALUES {FEATS_VALUES_SQL}) f(did, {_FCOLS})
+  JOIN documents d ON d.doc_id = f.did
+  WHERE d.doc_id < {N_DOCS}
+),
+fv AS (
+  SELECT did, dim.d AS dim, CAST(CASE dim.d {_FCASE} END AS BIGINT) AS v
+  FROM feats, (SELECT unnest(range({IM.GRID_DIMS})) AS d) dim
+),
+planes AS (
+  SELECT p.p AS plane, d.d AS dim,
+         ({_md5_64_sql("'imgplane' || p.p || '/' || d.d")} % 2001 - 1000) AS w
+  FROM (SELECT unnest(range({_IMG_PLANES})) AS p) p,
+       (SELECT unnest(range({IM.GRID_DIMS})) AS d) d
+),
+proj AS (
+  SELECT fv.did, pl.plane, CAST(sum(fv.v * pl.w) AS BIGINT) AS dot_s
+  FROM fv JOIN planes pl ON pl.dim = fv.dim
+  GROUP BY fv.did, pl.plane
+),
+buckets AS (
+  SELECT did,
+         sum(CASE WHEN dot_s > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS bucket
+  FROM proj GROUP BY did
+),
+norms AS (
+  SELECT did, CAST(sum(v * v) AS BIGINT) AS nrm FROM fv GROUP BY did
+),
+pairs AS (
+  SELECT a.did AS a_id, b.did AS b_id
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+  WHERE a.did < b.did
+),
+dots AS (
+  SELECT p.a_id, p.b_id, CAST(sum(av.v * bv.v) AS BIGINT) AS dot_s
+  FROM pairs p
+  JOIN fv av ON av.did = p.a_id
+  JOIN fv bv ON bv.did = p.b_id AND bv.dim = av.dim
+  GROUP BY p.a_id, p.b_id
+),
+cos AS (
+  SELECT d.a_id, d.b_id,
+         CAST(round(d.dot_s / sqrt(CAST(na.nrm AS DOUBLE) * nb.nrm) * 1e6)
+              AS BIGINT) AS cos_micro
+  FROM dots d
+  JOIN norms na ON na.did = d.a_id
+  JOIN norms nb ON nb.did = d.b_id
+)
+SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id, cos_micro
+FROM cos WHERE cos_micro >= {_IMG_COS_THRESHOLD_MICRO}
+""",
+)
+def image_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-derived embedding near-dups: decode every payload, pool
+    into the 16-dim integer grid-feature vector
+    (operators/images.grid_feature_vector), LSH-bucket on 8 integer
+    md5-derived hyperplanes, and score each bucket's all-pairs cosine
+    inside ONE applyInPandas task. The decode + featurize stage is a
+    map (payload bytes never shuffle); only (image_id, 16xint64, bucket)
+    rows move; bucket size bounds the quadratic term exactly as in
+    embedding_cosine_near_dups.
+
+    Engine-exactness: features, plane weights, plane dots, pair dots
+    and norms are all int64 (no rounding anywhere before the final
+    cosine); the single float op — dot / sqrt(double(na)*nb) * 1e6,
+    round-half-away — is evaluated identically on both engines, and the
+    twin/non-twin cosine gap (0.9998 vs 0.968 around the 0.99
+    threshold) dwarfs any last-ulp concern. The DuckDB oracle reads the
+    pinned per-doc feature fixture (pure function of doc_id,
+    fixtures/image_feats.py, drift-guarded in
+    tests/test_image_pipeline.py) and re-expresses bucketing + cosine
+    in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    feats = IM.grid_features(images_from_documents(spark, sf_dir))
+    W = _img_plane_weights()
+    dots = [
+        F.aggregate(
+            F.zip_with(
+                "feat",
+                F.array(*[F.lit(int(w)) for w in W[p]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for p in range(_IMG_PLANES)
+    ]
+    bucket = sum(
+        ((d > 0).cast("long") * F.lit(1 << p)) for p, d in enumerate(dots)
+    )
+    bucketed = feats.select(
+        F.col("image_id").cast("long").alias("did"),
+        "feat",
+        bucket.alias("bucket"),
+    )
+
+    def score_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_micro": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cos_micro": "int64"}
+            )
+        pdf = pdf.sort_values("did")
+        X = np.array(pdf["feat"].tolist(), dtype=np.int64)
+        ids = pdf["did"].to_numpy(dtype=np.int64)
+        nrm = (X * X).sum(axis=1)  # exact int64
+        out_a, out_b, out_c = [], [], []
+        for i in range(n - 1):
+            dot = (X[i + 1 :] * X[i]).sum(axis=1)  # exact int64
+            cos = _round_half_away(
+                dot / np.sqrt(nrm[i].astype(np.float64) * nrm[i + 1 :]) * 1e6
+            ).astype(np.int64)
+            keep = cos >= _IMG_COS_THRESHOLD_MICRO
+            out_a.append(np.full(int(keep.sum()), ids[i]))
+            out_b.append(ids[i + 1 :][keep])
+            out_c.append(cos[keep])
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(out_a),
+                "b_id": np.concatenate(out_b),
+                "cos_micro": np.concatenate(out_c),
+            }
+        )
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        score_bucket, "a_id long, b_id long, cos_micro long"
     )

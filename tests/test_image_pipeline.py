@@ -83,3 +83,49 @@ def test_curation_filter_gate_order_and_selectivity(spark):
         reasons[r["reason"]] = reasons.get(r["reason"], 0) + 1
     for want in ("too_small", "aspect", "caption_short", "phash_dup", "ok"):
         assert reasons.get(want, 0) > 0, (want, reasons)
+
+
+def test_grid_feat_fixture_matches_operator():
+    """The pinned grid-feature VALUES fixture used by the DuckDB oracle
+    (fixtures/image_feats.py) must track the renderer + codec + feature
+    function exactly — fixture == recompute, no drift."""
+    from gocrawler_spark.fixtures import image_feats as IFX
+
+    assert IFX.GRID_FEATS == IFX.regenerate()
+
+
+def test_embedding_near_dups_are_exactly_the_bucketed_twins(spark):
+    """Output pairs must be exactly the twin pairs (d-1, d) whose
+    grid-feature vectors land in the same LSH bucket: twins score
+    cosine >= 0.9998, every other pair <= 0.968, so the 0.99 threshold
+    admits nothing else. Expected set recomputed here in pure numpy
+    from the pinned fixture (an implementation independent of both the
+    Spark query and the DuckDB oracle)."""
+    import numpy as np
+
+    from gocrawler_spark.fixtures.image_feats import GRID_FEATS
+    from gocrawler_spark.queries.image_pipeline_q import (
+        _IMG_COS_THRESHOLD_MICRO,
+        _img_plane_weights,
+    )
+
+    X = np.array([r[1:] for r in GRID_FEATS], dtype=np.int64)
+    W = _img_plane_weights()
+    buckets = (((X @ W.T) > 0).astype(np.int64) << np.arange(8)).sum(axis=1)
+    nrm = (X * X).sum(axis=1)
+    expected = set()
+    for d in range(1, 300, 5):
+        if buckets[d] != buckets[d - 1]:
+            continue
+        cos = (X[d - 1] @ X[d]) / np.sqrt(
+            nrm[d - 1].astype(np.float64) * nrm[d]
+        )
+        if round(cos * 1e6) >= _IMG_COS_THRESHOLD_MICRO:
+            expected.add((d - 1, d))
+    # the construction guarantees a healthy majority of the 60 twins
+    # survive 8-plane bucketing (measured: 58)
+    assert len(expected) >= 50
+    out = QUERIES["image_embedding_near_dups"](spark, SF_DIR).collect()
+    got = {(r.a_id, r.b_id) for r in out}
+    assert got == expected
+    assert all(r.cos_micro >= _IMG_COS_THRESHOLD_MICRO for r in out)
