@@ -89,6 +89,7 @@ HEADLINE = [
     "ann_recall_at_k",
     "ann_pq_adc_topk",
     "image_embedding_near_dups",
+    "minhash_incremental_probe",
 ]
 
 

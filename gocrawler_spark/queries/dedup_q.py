@@ -1222,3 +1222,149 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", "adc_s", F.col("rnk").cast("long").alias("rnk")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: probe a NEW batch against the EXISTING corpus's
+# LSH index — the ingestion-time pattern. A 100 TB pipeline never
+# re-dedups the corpus when a crawl wave lands; it probes the wave
+# against the materialized band index.
+_INCR_DUP_MICRO = 500_000  # jaccard >= 0.5 → duplicate verdict
+
+
+@register(
+    "minhash_incremental_probe",
+    f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, i.h AS perm,
+         min({_md5_64_sql("i.h || '#' || shingle")}) AS minhash
+  FROM doc_shingles, (SELECT unnest(range({N_MINHASH})) AS h) i
+  GROUP BY doc_id, i.h
+),
+bands AS (
+  SELECT doc_id, perm // {N_MINHASH // N_BANDS} AS band,
+         md5(string_agg(minhash, ',' ORDER BY perm)) AS bucket
+  FROM hashed GROUP BY doc_id, band
+),
+batch AS (
+  SELECT DISTINCT doc_id FROM doc_shingles WHERE doc_id % 10 = 0
+),
+cand AS (
+  SELECT DISTINCT p.doc_id AS batch_doc, i.doc_id AS corpus_doc
+  FROM bands p JOIN bands i ON p.band = i.band AND p.bucket = i.bucket
+  WHERE p.doc_id % 10 = 0 AND i.doc_id % 10 <> 0
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id
+),
+shared AS (
+  SELECT c.batch_doc, c.corpus_doc, count(*) AS shared
+  FROM cand c
+  JOIN doc_shingles a ON a.doc_id = c.batch_doc
+  JOIN doc_shingles b ON b.doc_id = c.corpus_doc AND b.shingle = a.shingle
+  GROUP BY c.batch_doc, c.corpus_doc
+),
+scored AS (
+  SELECT c.batch_doc, c.corpus_doc,
+         CAST(round(CAST(COALESCE(s.shared, 0) AS DOUBLE)
+              / (sa.n + sb.n - COALESCE(s.shared, 0)) * 1e6) AS BIGINT) AS jm
+  FROM cand c
+  JOIN sizes sa ON sa.doc_id = c.batch_doc
+  JOIN sizes sb ON sb.doc_id = c.corpus_doc
+  LEFT JOIN shared s
+    ON s.batch_doc = c.batch_doc AND s.corpus_doc = c.corpus_doc
+),
+best AS (
+  SELECT batch_doc, corpus_doc, jm,
+         row_number() OVER (PARTITION BY batch_doc
+                            ORDER BY jm DESC, corpus_doc ASC) AS rk
+  FROM scored
+)
+SELECT b.doc_id AS batch_doc,
+       best.corpus_doc AS match_doc,
+       CAST(COALESCE(best.jm, 0) AS BIGINT) AS jaccard_micro,
+       CAST(COALESCE(best.jm, 0) >= {_INCR_DUP_MICRO} AS BIGINT) AS is_dup
+FROM batch b
+LEFT JOIN best ON best.batch_doc = b.doc_id AND best.rk = 1
+""",
+)
+def minhash_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup probe: treat doc_id % 10 == 0 as
+    the NEW BATCH and everything else as the already-ingested corpus;
+    band the batch, equijoin against the corpus's band index, verify
+    candidates with exact shingle Jaccard, and emit one verdict per
+    batch doc — its best corpus match (highest Jaccard, lowest doc_id
+    on ties) and an is_dup flag at Jaccard >= 0.5. Batch docs with no
+    index hit surface with a NULL match (jaccard 0): the ingestion
+    gate must say "new" explicitly, not drop the row.
+
+    Scale: this is the shape that makes dedup O(batch) instead of
+    O(corpus) per ingest — the corpus index is a materialized table
+    (here recomputed because the testdata is static; the banding
+    subplan is identical to minhash_bands, which IS that table), the
+    probe side shuffles only 4 band rows per batch doc, and the verify
+    join is candidate-bounded exactly like minhash_lsh_pairs. In the
+    real setting batch << corpus, so the planner broadcasts the probe
+    bands; candidates per batch doc are bounded by bucket occupancy."""
+    ds = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
+    bands = _bands_from(spark, ds)
+    is_batch = F.col("doc_id") % 10 == 0
+    probe = bands.filter(is_batch).select(
+        F.col("doc_id").alias("batch_doc"), "band", "bucket"
+    )
+    index = bands.filter(~is_batch).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "bucket"
+    )
+    cand = (
+        probe.join(index, ["band", "bucket"])
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shared = (
+        cand.join(ds.withColumnRenamed("doc_id", "batch_doc"), "batch_doc")
+        .join(
+            ds.select(
+                F.col("doc_id").alias("corpus_doc"),
+                F.col("shingle").alias("shingle"),
+            ),
+            ["corpus_doc", "shingle"],
+        )
+        .groupBy("batch_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("batch_doc"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("corpus_doc"), F.col("n").alias("nb"))
+    scored = (
+        cand.join(sa, "batch_doc")
+        .join(sb, "corpus_doc")
+        .join(shared, ["batch_doc", "corpus_doc"], "left")
+        .withColumn("sh", F.coalesce(F.col("shared"), F.lit(0)))
+        .select(
+            "batch_doc",
+            "corpus_doc",
+            F.round(
+                F.col("sh").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("sh"))
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("jm"),
+        )
+    )
+    w = Window.partitionBy("batch_doc").orderBy(
+        F.col("jm").desc(), F.col("corpus_doc").asc()
+    )
+    best = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    batch = ds.filter(is_batch).select(F.col("doc_id").alias("batch_doc")).distinct()
+    return batch.join(best, "batch_doc", "left").select(
+        "batch_doc",
+        F.col("corpus_doc").alias("match_doc"),
+        F.coalesce(F.col("jm"), F.lit(0)).cast("bigint").alias("jaccard_micro"),
+        (F.coalesce(F.col("jm"), F.lit(0)) >= _INCR_DUP_MICRO)
+        .cast("bigint")
+        .alias("is_dup"),
+    )
