@@ -113,3 +113,31 @@ def test_span_dedup_narrow_scan_no_cartesian(spark):
     # reads only (doc_id, text)
     for s in _read_schemas(plan):
         assert len(s.split(",")) <= 2, s
+
+
+def test_image_embedding_near_dups_narrow_scan_no_cartesian(spark):
+    plan = _plan(spark, "image_embedding_near_dups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the documents scan feeding the image derivation reads only
+    # (doc_id, text) — payload bytes exist only inside the map stage
+    for s in _read_schemas(plan):
+        assert len(s.split(",")) <= 2, s
+
+
+def test_incremental_probe_equijoin_and_narrow_scan(spark):
+    plan = _plan(spark, "minhash_incremental_probe")
+    assert "CartesianProduct" not in plan
+    # the probe->index candidate join and the verify joins must be
+    # equijoins (hash/sort-merge); the only nested-loops allowed are
+    # the broadcast 16-row perms expansions inside banding (the
+    # subtree repeats textually once per consumer of the candidate
+    # relation, so count SortMergeJoin/ShuffledHashJoin presence, not
+    # BNLJ absence)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+    for m in re.finditer(r"BroadcastNestedLoopJoin BuildRight, (\w+)", plan):
+        assert m.group(1) in ("Cross", "Inner"), m.group(0)
+    for s in _read_schemas(plan):
+        assert len(s.split(",")) <= 3, s
