@@ -90,6 +90,7 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "image_embedding_near_dups",
     "minhash_incremental_probe",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -1368,3 +1368,150 @@ def minhash_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed index: the production ANN architecture (FAISS
+# IVFPQ). IVF bounds WHICH vectors are scored (nprobe cells); PQ
+# bounds WHAT is read to score them (4-byte codes, per-query LUTs).
+# Reuses the exact centroid/codebook/rounding contracts of ann_ivf_topk
+# and ann_pq_adc_topk, so the DuckDB oracle is their CTEs composed.
+
+
+@register(
+    "ann_ivfpq_topk",
+    f"""
+WITH {_IVF_CENTS_SQL},
+{_PQ_CENTS_SQL},
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot_s DESC, cell ASC) AS r
+    FROM cellscore
+  ) WHERE r = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot_s DESC, cell ASC) AS r
+    FROM cellscore WHERE vec_id < 10
+  ) WHERE r <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id
+  FROM qprobe q JOIN assign a ON a.cell = q.cell
+  WHERE a.vec_id <> q.query_id
+),
+adc AS (
+  SELECT p.query_id, p.neighbor_id, CAST(sum(l.dot_s) AS BIGINT) AS adc_s
+  FROM cand p
+  JOIN codes c ON c.vec_id = p.neighbor_id
+  JOIN lut l ON l.query_id = p.query_id AND l.m = c.m AND l.k = c.k
+  GROUP BY p.query_id, p.neighbor_id
+)
+SELECT query_id, neighbor_id, adc_s, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT query_id, neighbor_id, adc_s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_s DESC, neighbor_id ASC) AS rnk
+  FROM adc
+) WHERE rnk <= 5
+""",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 per query: probe the nprobe=4 best IVF cells
+    (same centroids + tie rules as ann_ivf_topk), then score ONLY the
+    candidates in those cells by PQ-ADC (same codebooks + LUT rounding
+    as ann_pq_adc_topk) — never the raw candidate vectors.
+
+    Physical plan: ONE fused numpy mapInPandas pass over the corpus
+    does cell-assign + PQ encode + ADC for the queries probing that
+    cell, emitting per-batch per-query top-5 partials; the global
+    top-5 is one tiny window. Nothing quadratic shuffles. At 1e10
+    vectors the corpus is stored partitioned by cell with its 4-byte
+    codes precomputed, the scan prunes to probed cells, and the pass
+    reads codes instead of vectors — IVF bounds candidates, PQ bounds
+    bytes, which is why this is the architecture that fits executor
+    memory at scale."""
+    import numpy as np
+    import pandas as pd
+
+    C = _ivf_centroids()  # (K, 64)
+    W = _pq_codebooks()  # (M, K, 8)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def cell_scores(X):
+        return np.stack(
+            [
+                _round_half_away(X * C[c] * 1e9).astype(np.int64).sum(axis=1)
+                for c in range(_IVF_K)
+            ],
+            axis=1,
+        )
+
+    qrows = emb.filter(F.col("vec_id") < 10).collect()
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    nq = len(q_ids)
+    qs = cell_scores(Q)
+    order = np.lexsort((np.arange(_IVF_K)[None, :].repeat(nq, 0), -qs))
+    probe = [set(int(c) for c in order[i, :_IVF_NPROBE]) for i in range(nq)]
+    QS = Q.reshape(nq, _PQ_M, 8)
+    LUT = (
+        _round_half_away(QS[:, :, None, :] * W[None, :, :, :] * 1e12)
+        .astype(np.int64)
+        .sum(axis=-1)
+    )
+
+    def fused(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            best = np.argmax(cell_scores(X), axis=1)  # ties -> lowest cell
+            XS = X.reshape(len(X), _PQ_M, 8)
+            diff = XS[:, :, None, :] - W[None, :, :, :]
+            dist = (
+                _round_half_away(diff * diff * 1e9).astype(np.int64).sum(axis=-1)
+            )
+            codes = np.argmin(dist, axis=2)  # (n, M), ties -> lowest code
+            out = []
+            for j in range(nq):
+                keep = np.fromiter(
+                    (int(c) in probe[j] for c in best), bool, len(best)
+                ) & (ids != q_ids[j])
+                if not keep.any():
+                    continue
+                adc = LUT[j][np.arange(_PQ_M), codes[keep]].sum(axis=1)
+                d = pd.DataFrame(
+                    {
+                        "query_id": int(q_ids[j]),
+                        "neighbor_id": ids[keep],
+                        "adc_s": adc,
+                    }
+                ).sort_values(
+                    ["adc_s", "neighbor_id"], ascending=[False, True]
+                ).head(5)
+                out.append(d)
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partials = emb.mapInPandas(
+        fused, "query_id long, neighbor_id long, adc_s long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_s"), F.asc("neighbor_id")
+    )
+    return (
+        partials.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_s",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
