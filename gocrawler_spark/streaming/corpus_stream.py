@@ -228,3 +228,59 @@ def domain_quota_stream(docs: DataFrame, quota: int) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+CONTENT_DEDUP_OUTPUT = T.StructType(
+    [
+        T.StructField("signature", T.StringType(), True),
+        T.StructField("kept_url", T.StringType(), True),
+        T.StructField("new_dups", T.LongType(), True),
+    ]
+)
+
+CONTENT_DEDUP_STATE = T.StructType([T.StructField("seen", T.LongType(), True)])
+
+
+def content_dedup_stream(docs: DataFrame) -> DataFrame:
+    """CUSTOM STATEFUL operator (applyInPandasWithState): streaming
+    exact dedup WITH drop accounting, keyed by content signature.
+
+    dropDuplicates can admit first-arrivals but silently discards the
+    rest; an ingestion pipeline also needs the dup pressure per key
+    (it drives crawl-source demotion and dedup-rate dashboards). Per
+    key and micro-batch this emits ONE row: the first arrival ever
+    admits the deterministically-first (lowest url) doc as kept_url
+    and reports the batch's remaining arrivals as new_dups; every
+    later batch emits kept_url=NULL with that batch's full arrival
+    count. State per key is one long (total arrivals so far) — it
+    survives checkpoints/restarts and needs no watermark.
+
+    Scale: state is hash-partitioned by signature in the state store;
+    per-batch work is one shuffle of (signature, url) pairs — the
+    curated text never moves; the admitted-doc payload is re-joined
+    downstream by (signature, kept_url) if needed."""
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        (seen,) = state.get if state.exists else (0,)
+        urls = []
+        for pdf in pdfs:
+            urls.extend(pdf["url"].tolist())
+        urls.sort()
+        first = seen == 0
+        state.update((seen + len(urls),))
+        yield pd.DataFrame(
+            {
+                "signature": [key[0]],
+                "kept_url": [urls[0] if first else None],
+                "new_dups": [len(urls) - 1 if first else len(urls)],
+            }
+        )
+
+    return docs.groupBy("signature").applyInPandasWithState(
+        fn,
+        outputStructType=CONTENT_DEDUP_OUTPUT,
+        stateStructType=CONTENT_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -178,3 +178,59 @@ def test_domain_quota_stateful_across_batches(spark, tmp_path):
         for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()
     }
     assert by_domain == {"a.example": 3, "b.example": 3}
+
+
+def test_content_dedup_stateful_drop_accounting(spark, tmp_path):
+    """applyInPandasWithState exact-dedup: only the first-ever arrival
+    per signature is admitted (lowest url wins inside its batch), and
+    every batch reports its dup count per key — state persists across
+    restarts via the checkpoint."""
+    inp, ckpt, outp = (str(tmp_path / d) for d in ("din", "dck", "dout"))
+    os.makedirs(inp, exist_ok=True)
+
+    def run_available_now():
+        stream = CS.accepted_docs_stream(spark, inp)
+        q = (
+            CS.content_dedup_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: sig A twice, sig B once
+    _write_docs(
+        spark,
+        inp,
+        [
+            ("https://x.example/a2", "t", "sigA", T0),
+            ("https://x.example/a1", "t", "sigA", T0),
+            ("https://x.example/b1", "t", "sigB", T0),
+        ],
+    )
+    run_available_now()
+    # batch 2: sig A again (pure dups), sig C new
+    _write_docs(
+        spark,
+        inp,
+        [
+            ("https://x.example/a3", "t", "sigA", T0),
+            ("https://x.example/c1", "t", "sigC", T0),
+        ],
+    )
+    run_available_now()
+
+    rows = spark.read.parquet(outp).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.signature, []).append((r.kept_url, r.new_dups))
+    # sigA: batch1 admitted a1 (a2 = 1 dup); batch2 pure dups (1)
+    assert sorted(by_key["sigA"], key=lambda t: (t[0] is None, t[0] or "")) == [
+        ("https://x.example/a1", 1),
+        (None, 1),
+    ]
+    assert by_key["sigB"] == [("https://x.example/b1", 0)]
+    assert by_key["sigC"] == [("https://x.example/c1", 0)]
