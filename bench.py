@@ -91,6 +91,7 @@ HEADLINE = [
     "image_embedding_near_dups",
     "minhash_incremental_probe",
     "ann_ivfpq_topk",
+    "events_pagerank",
 ]
 
 

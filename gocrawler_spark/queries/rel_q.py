@@ -251,3 +251,128 @@ def events_top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_purchases"), F.asc("user_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the user browse-transition graph — the link-authority
+# signal the reference's in-link Count (crawler.go:84-91, link
+# popularity) approximates with a single hop. Iterative distributed
+# graph op with an EXACT oracle: the oracle unrolls the same 5
+# iterations as WITH-chained CTEs, and every arithmetic step is int64
+# micro-units with ONE floor division per edge contribution —
+# order-independent sums, no float anywhere, so both engines agree
+# bit-for-bit.
+_PR_ITERS = 5
+_PR_D_NUM, _PR_D_DEN = 85, 100  # damping 0.85 as a rational
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT n.node,
+         (SELECT ({_PR_D_DEN - _PR_D_NUM} * 1000000) // ({_PR_D_DEN} * count(*)) FROM nodes)
+           + COALESCE(s.c, 0) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           sum(({_PR_D_NUM} * p.pr * e.w) // ({_PR_D_DEN} * e.outw)) AS c
+    FROM edges e JOIN {prev} p ON p.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+
+
+@register(
+    "events_pagerank",
+    f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS node
+  FROM events
+),
+tr AS (
+  SELECT node AS src,
+         lead(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ev
+),
+ew AS (
+  SELECT src, dst, count(*) AS w FROM tr WHERE dst IS NOT NULL
+  GROUP BY src, dst
+),
+edges AS (
+  SELECT ew.src, ew.dst, ew.w, o.outw
+  FROM ew JOIN (SELECT src, sum(w) AS outw FROM ew GROUP BY src) o
+    ON o.src = ew.src
+),
+nodes AS (SELECT DISTINCT node FROM ev),
+iter0 AS (
+  SELECT node, 1000000 // (SELECT count(*) FROM nodes) AS pr FROM nodes
+),
+{",".join(_pr_iter_sql(f"iter{i}", f"iter{i + 1}") for i in range(_PR_ITERS))}
+SELECT node, CAST(pr AS BIGINT) AS pr_micro,
+       CAST(row_number() OVER (ORDER BY pr DESC, node ASC) AS BIGINT) AS rnk
+FROM iter{_PR_ITERS}
+""",
+)
+def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration PageRank (damping 0.85) over the browse graph:
+    nodes are the page ids in event props, edges are consecutive
+    events per user (ordered by ts, event_id), weighted by transition
+    count. All state is int64 micro-units; each edge contribution is
+    (85 * pr * w) // (100 * outw) — a single floor division, so the
+    per-iteration sums are order-independent and engine-exact.
+
+    Scale: the canonical iterative DataFrame pattern — edges and nodes
+    materialize once (the graph is the big table; it never changes
+    across iterations), each iteration is one join + partial-agg
+    shuffle on dst, and rank state is 16 bytes/node. At 1e10 edges you
+    pre-partition edges by src so the per-iteration join co-locates
+    with the rank table; iteration count is fixed (5), not
+    convergence-driven, keeping the lineage bounded (each iteration
+    here builds on a materialized rank, not a growing plan)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("node"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("node").alias("src"), F.lead("node").over(w).alias("dst")
+    ).filter(F.col("dst").isNotNull())
+    ew = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    outw = ew.groupBy("src").agg(F.sum("w").alias("outw"))
+    # the graph is iterated 5x: materialize it once (at 1e10 edges
+    # this is the pre-partitioned edges table, not executor memory)
+    edges = ew.join(outw, "src").localCheckpoint(eager=True)
+    nodes = ev.select("node").distinct().localCheckpoint(eager=True)
+    n = nodes.count()
+    base = ((_PR_D_DEN - _PR_D_NUM) * 1_000_000) // (_PR_D_DEN * n)
+    pr = nodes.select("node", F.lit(1_000_000 // n).cast("long").alias("pr"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["node"])
+            .select(
+                "dst",
+                F.expr(
+                    f"({_PR_D_NUM} * pr * w) div ({_PR_D_DEN} * outw)"
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        pr = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("pr"),
+        )
+        # materialize each iteration: bounded lineage, and the next
+        # join reads a table instead of replaying the whole prefix
+        pr = pr.localCheckpoint(eager=True)
+    rw = Window.orderBy(F.desc("pr"), F.asc("node"))
+    return pr.select(
+        "node",
+        F.col("pr").alias("pr_micro"),
+        F.row_number().over(rw).cast("long").alias("rnk"),
+    )
