@@ -92,6 +92,7 @@ HEADLINE = [
     "minhash_incremental_probe",
     "ann_ivfpq_topk",
     "events_pagerank",
+    "events_attribution_asof",
 ]
 
 

@@ -376,3 +376,78 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pr").alias("pr_micro"),
         F.row_number().over(rw).cast("long").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_attribution_asof",
+    """
+WITH v AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       v.event_id AS view_id,
+       CAST(date_diff('microseconds', v.ts, p.ts) AS BIGINT) AS gap_us
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+)
+def events_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (temporal attribution): each purchase is attributed
+    to the same user's latest view at or before the purchase instant;
+    purchases with no prior view keep a NULL attribution. The oracle
+    uses DuckDB's native ASOF LEFT JOIN; Spark has no asof operator,
+    so the engine uses the SCALABLE distributed formulation — tag both
+    event sets, union them, and carry the last non-null view forward
+    with one running window per user:
+
+        union(view:kind=0, purchase:kind=1)
+        last(view_id, ignorenulls) OVER (PARTITION BY user
+                                         ORDER BY ts, kind
+                                         ROWS UNBOUNDED PRECEDING..CURRENT)
+
+    One shuffle on the user key and one sort — never the naive
+    range-join (p x v per user) expansion, which is quadratic in
+    events-per-user at 100 TB. Ordering kind after ts makes a view at
+    the exact purchase instant eligible, matching ASOF's >= bound;
+    (user, ts) pairs are unique in the table, so the pick is total."""
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("view_ref"),
+        F.col("ts").alias("view_ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("view_ref"),
+        F.lit(None).cast("timestamp_ntz").alias("view_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    tagged = views.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "user_id",
+        "ts",
+        "kind",
+        "purchase_id",
+        F.last("view_ref", ignorenulls=True).over(w).alias("view_id"),
+        F.last("view_ts", ignorenulls=True).over(w).alias("attr_ts"),
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        "purchase_id",
+        "user_id",
+        "view_id",
+        F.expr("timestampdiff(MICROSECOND, attr_ts, ts)").cast("long").alias("gap_us"),
+    )
