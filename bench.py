@@ -93,6 +93,9 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "events_pagerank",
     "events_attribution_asof",
+    "events_rollup_multi",
+    "events_value_range_join",
+    "hll_distinct_shingles",
 ]
 
 

@@ -451,3 +451,113 @@ def events_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         F.expr("timestampdiff(MICROSECOND, attr_ts, ts)").cast("long").alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_rollup_multi",
+    """
+SELECT CAST(GROUPING(event_type, day, hour) AS BIGINT) AS lvl,
+       event_type,
+       day,
+       hour,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_sum_micro
+FROM (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         strftime(date_trunc('hour', ts), '%H') AS hour,
+         value
+  FROM events
+)
+GROUP BY ROLLUP(event_type, day, hour)
+""",
+)
+def events_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hour, day,
+    per-type, and grand totals in ONE pass via GROUP BY ROLLUP —
+    Spark expands the grouping sets after the partial aggregation, so
+    the fact table is scanned and partially aggregated once, not once
+    per granularity (the multi-level materialized-rollup shape a
+    time-series store maintains). lvl is the grouping bitmask (0 =
+    finest (type, day, hour), 1 = (type, day), 3 = (type), 7 = grand
+    total) — same convention on both engines."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", F.col("ts")), "HH").alias("hour"),
+        "value",
+    )
+    return ev.rollup("event_type", "day", "hour").agg(
+        F.grouping_id().cast("long").alias("lvl"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 1e6).cast("bigint")).alias(
+            "value_sum_micro"
+        ),
+    ).select("lvl", "event_type", "day", "hour", "n", "value_sum_micro")
+
+
+# ---------------------------------------------------------------------------
+# Range join: irregular value bands. Bounds in integer cents; the
+# engine turns the interval predicate into an EQUIJOIN by expanding
+# each band over a fixed 5.00-unit grid (bucket-expansion) — the
+# standard trick that keeps a range join off the nested-loop path.
+_VALUE_BANDS_C = [  # (band_id, lo_cents incl, hi_cents excl)
+    (0, 0, 500),
+    (1, 500, 2_000),
+    (2, 2_000, 5_000),
+    (3, 5_000, 10_000),
+    (4, 10_000, 25_000),
+    (5, 25_000, 100_000),
+]
+_GRID_C = 500  # grid cell width in cents
+
+
+@register(
+    "events_value_range_join",
+    f"""
+WITH bands(band_id, lo_c, hi_c) AS (
+  VALUES {", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _VALUE_BANDS_C)}
+),
+ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+)
+SELECT b.band_id, CAST(b.lo_c AS BIGINT) AS lo_c, CAST(b.hi_c AS BIGINT) AS hi_c,
+       e.event_type,
+       count(*) AS n, CAST(sum(e.vc) AS BIGINT) AS value_sum_c
+FROM ev e JOIN bands b ON e.vc >= b.lo_c AND e.vc < b.hi_c
+GROUP BY b.band_id, b.lo_c, b.hi_c, e.event_type
+""",
+)
+def events_value_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (interval lookup) executed as an equijoin: every
+    band expands to the 5.00-unit grid cells it overlaps (200 rows
+    total, broadcast), events join on cell = vc // 500, and the exact
+    interval bounds apply as a residual filter after the match. All
+    comparisons are integer cents, so the band assignment is
+    engine-exact (no float-boundary flips at 5.00 etc.).
+
+    Scale: the naive non-equi join is a BroadcastNestedLoopJoin that
+    tests every (event, band) pair — fine at 6 bands, quadratic pain
+    when the interval table grows (IP ranges, tariff schedules).
+    Bucket expansion keeps it a hash equijoin whose build side is
+    O(sum of interval widths / grid), independent of probe size; the
+    oracle states the same semantics as the plain BETWEEN join."""
+    expanded = [
+        (b, lo, hi, cell)
+        for b, lo, hi in _VALUE_BANDS_C
+        for cell in range(lo // _GRID_C, (hi - 1) // _GRID_C + 1)
+    ]
+    bands = spark.createDataFrame(
+        expanded, "band_id long, lo_c long, hi_c long, cell long"
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    ).withColumn("cell", F.expr(f"vc div {_GRID_C}"))
+    return (
+        ev.join(F.broadcast(bands), "cell")
+        .filter((F.col("vc") >= F.col("lo_c")) & (F.col("vc") < F.col("hi_c")))
+        .groupBy("band_id", "lo_c", "hi_c", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vc").alias("value_sum_c"))
+    )

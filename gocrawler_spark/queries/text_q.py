@@ -227,3 +227,125 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return BPE.bpe_doc_stats(docs, _bpe_merges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (m=64 registers), engine-exact.
+# Every step is integer arithmetic: shingle -> 60-bit md5 hash, bucket
+# = low 6 bits, rank = leading-zero rank of the remaining 54-bit word
+# (computed as 55 - length(binary string) — both engines render binary
+# identically), register = max rank per bucket. The harmonic sum is
+# EXACT: sum of 2^(56-register) stays inside int64 (registers <= 55,
+# 64 buckets -> <= 2^62); the only float ops are the final division
+# (and ln() on the small-range branch), single expressions evaluated
+# identically on both engines.
+_HLL_M = 64
+_HLL_ALPHA_MICRO = 709077  # alpha_64 ~= 0.7213/(1+1.079/64), fixed rational
+
+from gocrawler_spark.queries.dedup_q import _SHINGLES_CTE, _doc_shingles  # noqa: E402
+
+
+@register(
+    "hll_distinct_shingles",
+    f"""
+WITH {_SHINGLES_CTE},
+uniq AS (SELECT DISTINCT shingle FROM doc_shingles),
+hashed AS (
+  SELECT CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM uniq
+),
+ranked AS (
+  SELECT h % {_HLL_M} AS bucket,
+         CASE WHEN h // {_HLL_M} = 0 THEN 55
+              ELSE 55 - length(format('{{:b}}', h // {_HLL_M})) END AS rank
+  FROM hashed
+),
+regs AS (
+  SELECT b.b AS bucket, COALESCE(max(r.rank), 0) AS register
+  FROM (SELECT unnest(range({_HLL_M})) AS b) b
+  LEFT JOIN ranked r ON r.bucket = b.b
+  GROUP BY b.b
+),
+agg AS (
+  SELECT CAST(sum(register) AS BIGINT) AS reg_sum,
+         CAST(sum(1::BIGINT << (56 - register)) AS BIGINT) AS s_scaled,
+         CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+  FROM regs
+),
+est AS (
+  SELECT reg_sum, s_scaled, zeros,
+         round({float(_HLL_ALPHA_MICRO)} * {float(_HLL_M * _HLL_M)} * 1000.0
+               * POW(2.0, 56) / (1000000.0 * s_scaled)) AS raw_milli
+  FROM agg
+)
+SELECT CAST({_HLL_M} AS BIGINT) AS m,
+       (SELECT count(*) FROM uniq) AS n_exact,
+       reg_sum, s_scaled, zeros,
+       CAST(CASE WHEN zeros > 0 AND raw_milli <= {int(2.5 * _HLL_M * 1000)}
+                 THEN round({float(_HLL_M)} * ln({float(_HLL_M)} / zeros) * 1000.0)
+                 ELSE raw_milli END AS BIGINT) AS hll_est_milli
+FROM est
+""",
+)
+def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality sketch over the distinct 3-gram shingle set —
+    the mergeable distinct-count structure a 100 TB dedup pipeline
+    keeps per partition/day and ORs together (register-wise max)
+    instead of re-scanning for COUNT DISTINCT. Emits the exact count
+    next to the estimate plus the full integer sketch state (register
+    sum, exact scaled harmonic sum, zero-register count), so the
+    oracle checks the sketch itself, not just the rounded estimate;
+    the standard linear-counting small-range branch is included with
+    the identical formula on both engines.
+
+    Scale: one explode + one (bucket, max) partial agg — 64 longs of
+    state per partition regardless of input size; merging shards is a
+    64-row max, which is why this replaces exact distinct at scale."""
+    uniq = _doc_shingles(spark, sf_dir).select("shingle").distinct()
+    hashed = uniq.select(
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    ranked = hashed.select(
+        (F.col("h") % _HLL_M).alias("bucket"),
+        F.when(F.expr(f"h div {_HLL_M}") == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin(F.expr(f"h div {_HLL_M}"))))
+        .alias("rank"),
+    )
+    buckets = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+    regs = buckets.join(
+        ranked.groupBy("bucket").agg(F.max("rank").alias("mr")), "bucket", "left"
+    ).select("bucket", F.coalesce(F.col("mr"), F.lit(0)).alias("register"))
+    agg = regs.agg(
+        F.sum("register").cast("bigint").alias("reg_sum"),
+        F.sum(F.expr("shiftleft(1L, cast(56 - register AS int))"))
+        .cast("bigint")
+        .alias("s_scaled"),
+        F.sum(F.when(F.col("register") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("zeros"),
+    )
+    n_exact = uniq.count()
+    raw = F.round(
+        F.lit(float(_HLL_ALPHA_MICRO))
+        * F.lit(float(_HLL_M * _HLL_M))
+        * F.lit(1000.0)
+        * F.lit(float(2**56))
+        / (F.lit(1000000.0) * F.col("s_scaled"))
+    )
+    lin = F.round(
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros")) * F.lit(1000.0)
+    )
+    return agg.select(
+        F.lit(_HLL_M).cast("bigint").alias("m"),
+        F.lit(n_exact).cast("bigint").alias("n_exact"),
+        "reg_sum",
+        "s_scaled",
+        "zeros",
+        F.when(
+            (F.col("zeros") > 0) & (raw <= F.lit(int(2.5 * _HLL_M * 1000))), lin
+        )
+        .otherwise(raw)
+        .cast("bigint")
+        .alias("hll_est_milli"),
+    )
