@@ -96,6 +96,7 @@ HEADLINE = [
     "events_rollup_multi",
     "events_value_range_join",
     "hll_distinct_shingles",
+    "sequence_packing",
 ]
 
 

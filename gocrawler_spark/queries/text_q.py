@@ -9,6 +9,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from gocrawler_spark.functions import text as TX
 from gocrawler_spark.queries import load, register
@@ -349,3 +350,103 @@ def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hll_est_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing: GPT-style concat-and-chunk. Documents are
+# concatenated in corpus order (doc_id) and cut into fixed SEQ_LEN
+# windows; every quantity is an integer derived from one running token
+# cumsum, so the layout is engine-exact.
+_SEQ_LEN = 2048
+
+
+@register(
+    "sequence_packing",
+    f"""
+WITH counts AS (
+  SELECT doc_id,
+         len(list_filter({TOKS_SQL}, t -> NOT regexp_matches(t, '{STOP_RX}')))
+           AS n_tok
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(sum(n_tok) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT)
+           AS start_tok
+  FROM counts WHERE n_tok > 0
+),
+exploded AS (
+  SELECT doc_id, n_tok, start_tok, s.seq_id
+  FROM spans,
+       LATERAL (SELECT unnest(range(start_tok // {_SEQ_LEN},
+                                    (start_tok + n_tok - 1) // {_SEQ_LEN} + 1))
+                  AS seq_id) s
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(least(start_tok + n_tok, (seq_id + 1) * {_SEQ_LEN})
+                - greatest(start_tok, seq_id * {_SEQ_LEN})) AS BIGINT)
+         AS n_tokens,
+       CAST(sum(CASE WHEN start_tok < seq_id * {_SEQ_LEN}
+                      OR start_tok + n_tok > (seq_id + 1) * {_SEQ_LEN}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+FROM exploded
+GROUP BY seq_id
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing layout: per fixed-length training
+    sequence, how many documents it touches, how many tokens it holds
+    (SEQ_LEN except the final partial), and how many of its documents
+    cross a sequence boundary (the attention-contamination metric that
+    motivates doc-masked attention). One running cumsum over corpus
+    order gives every doc its global token offset; the per-sequence
+    rollup explodes each doc over the (few) sequences it spans.
+
+    Scale: the cumsum is the one ordered window; at 100 TB you compute
+    it hierarchically (per-partition subtotals -> broadcast prefix
+    offsets -> partition-local cumsum), a textbook two-pass prefix
+    sum — the layout itself (floor divisions on offsets) is
+    embarrassingly parallel once offsets exist. Explode fanout is
+    n_docs + total_tokens/SEQ_LEN, linear in input."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id",
+        F.size(TX.analyzed_tokens(F.col("text"), CFG)).alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans = counts.select(
+        "doc_id",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_tok"),
+    )
+    L = _SEQ_LEN
+    exploded = spans.select(
+        "doc_id",
+        "n_tok",
+        "start_tok",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_tok div {L}"),
+                F.expr(f"(start_tok + n_tok - 1) div {L}"),
+            )
+        ).alias("seq_id"),
+    )
+    return exploded.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.least(F.col("start_tok") + F.col("n_tok"), (F.col("seq_id") + 1) * L)
+            - F.greatest(F.col("start_tok"), F.col("seq_id") * L)
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.sum(
+            (
+                (F.col("start_tok") < F.col("seq_id") * L)
+                | (F.col("start_tok") + F.col("n_tok") > (F.col("seq_id") + 1) * L)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_boundary_docs"),
+    ).select("seq_id", "n_docs", "n_tokens", "n_boundary_docs")
