@@ -141,3 +141,30 @@ def test_incremental_probe_equijoin_and_narrow_scan(spark):
         assert m.group(1) in ("Cross", "Inner"), m.group(0)
     for s in _read_schemas(plan):
         assert len(s.split(",")) <= 3, s
+
+
+def test_range_join_is_hash_equijoin(spark):
+    """The whole point of bucket-expansion: the interval lookup must
+    plan as a broadcast HASH join on the grid cell, never the
+    BroadcastNestedLoopJoin a plain non-equi predicate produces."""
+    plan = _plan(spark, "events_value_range_join")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_window_no_join(spark):
+    """The as-of attribution is the union+running-window formulation:
+    no join operator at all (and so no per-user range expansion) —
+    one window over the unioned stream."""
+    plan = _plan(spark, "events_attribution_asof")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert bad not in plan, bad
+    assert "Window" in plan
+
+
+def test_pagerank_and_packing_no_cartesian(spark):
+    for name in ("events_pagerank", "sequence_packing", "events_rollup_multi"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
