@@ -18,6 +18,18 @@ comparison exact:
   association-order-dependent and differs across engines);
 - top-k queries use a deterministic total order (count desc, key desc
   — the reference's rSortFreq order, crawler.go:705-718).
+
+DuckDB pitfalls that have bitten (cast explicitly in oracle SQL):
+- VALUES integer literals bind as INT32 — products overflow; CAST the
+  unpivoted value to BIGINT before any multiplication;
+- SUM() returns HUGEINT/decimal128 — CAST to BIGINT at every output
+  AND before feeding range()/generate_series (range(HUGEINT) fails);
+- window SUM feeding integer division: CAST the cumsum to BIGINT;
+- int*int literals in SELECT (e.g. alpha*m*m) stay INT32 — write
+  float literals when the product exceeds 2^31;
+- Spark parquet timestamps are TIMESTAMP_NTZ: unix_micros() rejects
+  them — use timestampdiff(MICROSECOND, ...) / DuckDB
+  date_diff('microseconds', ...) for exact integer gaps.
 """
 
 from __future__ import annotations
