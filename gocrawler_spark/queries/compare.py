@@ -39,7 +39,11 @@ def _norm(v: Any) -> Any:
 
 def _rows(cols, records) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in records)
+    rows = (tuple(_norm(r[i]) for i in order) for r in records)
+    # null-safe total order: None sorts before any value of any type
+    return sorted(
+        rows, key=lambda t: tuple((v is None, str(type(v)), v) for v in t)
+    )
 
 
 def compare(

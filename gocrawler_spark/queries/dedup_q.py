@@ -1282,7 +1282,7 @@ best AS (
   FROM scored
 )
 SELECT b.doc_id AS batch_doc,
-       best.corpus_doc AS match_doc,
+       COALESCE(best.corpus_doc, -1) AS match_doc,
        CAST(COALESCE(best.jm, 0) AS BIGINT) AS jaccard_micro,
        CAST(COALESCE(best.jm, 0) >= {_INCR_DUP_MICRO} AS BIGINT) AS is_dup
 FROM batch b
@@ -1296,8 +1296,10 @@ def minhash_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates with exact shingle Jaccard, and emit one verdict per
     batch doc — its best corpus match (highest Jaccard, lowest doc_id
     on ties) and an is_dup flag at Jaccard >= 0.5. Batch docs with no
-    index hit surface with a NULL match (jaccard 0): the ingestion
-    gate must say "new" explicitly, not drop the row.
+    index hit surface with match_doc = -1 (jaccard 0): the ingestion
+    gate must say "new" explicitly, not drop the row (sentinel, not
+    NULL, so every output column stays non-null for the driver's
+    order-insensitive row sort).
 
     Scale: this is the shape that makes dedup O(batch) instead of
     O(corpus) per ingest — the corpus index is a materialized table
@@ -1362,7 +1364,7 @@ def minhash_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = ds.filter(is_batch).select(F.col("doc_id").alias("batch_doc")).distinct()
     return batch.join(best, "batch_doc", "left").select(
         "batch_doc",
-        F.col("corpus_doc").alias("match_doc"),
+        F.coalesce(F.col("corpus_doc"), F.lit(-1)).cast("long").alias("match_doc"),
         F.coalesce(F.col("jm"), F.lit(0)).cast("bigint").alias("jaccard_micro"),
         (F.coalesce(F.col("jm"), F.lit(0)) >= _INCR_DUP_MICRO)
         .cast("bigint")

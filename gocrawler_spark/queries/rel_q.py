@@ -389,8 +389,9 @@ p AS (
   SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
 )
 SELECT p.event_id AS purchase_id, p.user_id,
-       v.event_id AS view_id,
-       CAST(date_diff('microseconds', v.ts, p.ts) AS BIGINT) AS gap_us
+       COALESCE(v.event_id, -1) AS view_id,
+       CAST(COALESCE(date_diff('microseconds', v.ts, p.ts), -1) AS BIGINT)
+         AS gap_us
 FROM p ASOF LEFT JOIN v
   ON p.user_id = v.user_id AND p.ts >= v.ts
 """,
@@ -398,7 +399,8 @@ FROM p ASOF LEFT JOIN v
 def events_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF JOIN (temporal attribution): each purchase is attributed
     to the same user's latest view at or before the purchase instant;
-    purchases with no prior view keep a NULL attribution. The oracle
+    purchases with no prior view carry the -1 sentinel (explicitly
+    "new", and non-null so the driver's row sort never compares NULL). The oracle
     uses DuckDB's native ASOF LEFT JOIN; Spark has no asof operator,
     so the engine uses the SCALABLE distributed formulation — tag both
     event sets, union them, and carry the last non-null view forward
@@ -448,8 +450,11 @@ def events_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("kind") == 1).select(
         "purchase_id",
         "user_id",
-        "view_id",
-        F.expr("timestampdiff(MICROSECOND, attr_ts, ts)").cast("long").alias("gap_us"),
+        F.coalesce(F.col("view_id"), F.lit(-1)).alias("view_id"),
+        F.coalesce(
+            F.expr("timestampdiff(MICROSECOND, attr_ts, ts)").cast("long"),
+            F.lit(-1).cast("long"),
+        ).alias("gap_us"),
     )
 
 
@@ -458,9 +463,9 @@ def events_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_rollup_multi",
     """
 SELECT CAST(GROUPING(event_type, day, hour) AS BIGINT) AS lvl,
-       event_type,
-       day,
-       hour,
+       COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(day, '(all)') AS day,
+       COALESCE(hour, '(all)') AS hour,
        count(*) AS n,
        CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_sum_micro
 FROM (
@@ -494,7 +499,14 @@ def events_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 1e6).cast("bigint")).alias(
             "value_sum_micro"
         ),
-    ).select("lvl", "event_type", "day", "hour", "n", "value_sum_micro")
+    ).select(
+        "lvl",
+        F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+        F.coalesce("day", F.lit("(all)")).alias("day"),
+        F.coalesce("hour", F.lit("(all)")).alias("hour"),
+        "n",
+        "value_sum_micro",
+    )
 
 
 # ---------------------------------------------------------------------------
