@@ -313,6 +313,67 @@ def bloom_throughput(spark) -> dict:
     }
 
 
+def cuckoo_throughput(spark) -> dict:
+    """Sharded cuckoo seen-set (the deletable half of the north_rule's
+    "bloom/cuckoo" family): build over the frontier's URLs, probe a
+    half-seen/half-new stream, then DELETE the seen half — the
+    retirement operation Bloom cannot do without a rebuild. Same
+    min-of-3 noise protocol as the bloom segment."""
+    from pyspark.sql import functions as F
+
+    from gocrawler_spark.operators import cuckoo as C
+
+    n = min(FRONTIER_ROWS, 2_000_000)
+    shards = 64
+    urls = synthetic_frontier(spark, n).select("url").localCheckpoint(eager=True)
+    t_build = None
+    cf = None
+    for i in range(3):
+        t0 = time.time()
+        cf = C.build(urls, n_shards=shards, expected_keys_per_shard=n // shards).cache()
+        cf.count()
+        dt = time.time() - t0
+        t_build = dt if t_build is None or dt < t_build else t_build
+        if i < 2:
+            cf.unpersist()
+    seen_half = urls.limit(n // 2).localCheckpoint(eager=True)
+    cand = seen_half.unionByName(
+        spark.range(n // 2).select(
+            F.concat(F.lit("https://new"), F.col("id").cast("string"),
+                     F.lit(".example/x")).alias("url")
+        )
+    ).localCheckpoint(eager=True)
+    t_probe = None
+    n_seen = 0
+    for _ in range(3):
+        t0 = time.time()
+        res = C.probe(cf, cand, n_shards=shards)
+        n_seen = res.filter(F.col("maybe_seen")).count()
+        dt = time.time() - t0
+        t_probe = dt if t_probe is None or dt < t_probe else t_probe
+    t0 = time.time()
+    after = C.delete(cf, seen_half, n_shards=shards)
+    still = (
+        C.probe(after, seen_half, n_shards=shards)
+        .filter(F.col("maybe_seen"))
+        .count()
+    )
+    t_delete = time.time() - t0  # includes the verification probe
+    return {
+        "keys": n,
+        "build_sec": round(t_build, 3),
+        "build_urls_per_sec": round(n / t_build),
+        "probe_rows": n,
+        "probe_sec": round(t_probe, 3),
+        "probe_urls_per_sec": round(n / t_probe),
+        "maybe_seen": n_seen,
+        "false_positives": n_seen - n // 2,
+        "delete_rows": n // 2,
+        "delete_plus_verify_sec": round(t_delete, 3),
+        "deleted_still_seen": still,
+    }
+
+
 def _warm_session(spark) -> None:
     """Absorb one-time session costs (codegen compiler, Arrow init,
     Python worker pool spin-up) so per-query timings measure the
@@ -353,6 +414,7 @@ def main_bench():
     q = run_queries(spark)
     fr = frontier_throughput(spark)
     bl = bloom_throughput(spark)
+    ck = cuckoo_throughput(spark)
     total = round(sum(q.values()) + fr["sec"], 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -365,6 +427,7 @@ def main_bench():
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "frontier": fr,
                 "bloom": bl,
+                "cuckoo": ck,
             }
         )
     )
