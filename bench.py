@@ -97,6 +97,9 @@ HEADLINE = [
     "events_value_range_join",
     "hll_distinct_shingles",
     "sequence_packing",
+    "unigram_lm_nll",
+    "host_quality_stats",
+    "minhash_jaccard_estimate",
 ]
 
 

@@ -1517,3 +1517,161 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+_JACCARD_MICRO_SQL = (
+    "CAST(round(CAST(COALESCE(s.shared, 0) AS DOUBLE)"
+    " / (sa.n + sb.n - COALESCE(s.shared, 0)) * 1e6) AS BIGINT)"
+)
+
+
+@register(
+    "minhash_jaccard_estimate",
+    f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, i.h AS perm,
+         min({_md5_64_sql("i.h || '#' || shingle")}) AS minhash
+  FROM doc_shingles, (SELECT unnest(range({N_MINHASH})) AS h) i
+  GROUP BY doc_id, i.h
+),
+bands AS (
+  SELECT doc_id, perm // {N_MINHASH // N_BANDS} AS band,
+         md5(string_agg(minhash, ',' ORDER BY perm)) AS bucket
+  FROM hashed GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(sum(CASE WHEN ha.minhash = hb.minhash THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_agree
+  FROM cand c
+  JOIN hashed ha ON ha.doc_id = c.doc_a
+  JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.perm = ha.perm
+  GROUP BY c.doc_a, c.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM doc_shingles a JOIN doc_shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT g.doc_a, g.doc_b, g.n_agree,
+       CAST(g.n_agree * {1000000 // N_MINHASH} AS BIGINT) AS est_micro,
+       {_JACCARD_MICRO_SQL} AS jaccard_micro,
+       CAST(g.n_agree * {1000000 // N_MINHASH} - {_JACCARD_MICRO_SQL}
+            AS BIGINT) AS err_micro
+FROM agree g
+JOIN sizes sa ON sa.doc_id = g.doc_a
+JOIN sizes sb ON sb.doc_id = g.doc_b
+LEFT JOIN shared s ON s.doc_a = g.doc_a AND s.doc_b = g.doc_b
+""",
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality eval for the dedup family (the ann_recall_at_k
+    analog): for every LSH candidate pair, the MinHash Jaccard
+    ESTIMATE (agreeing permutations / {N_MINHASH}) next to the exact
+    shingle Jaccard, with the signed error. This is how a 100 TB
+    pipeline validates its dedup index before trusting it: estimate
+    error bounds decide whether {N_MINHASH} permutations suffice for
+    the dedup threshold in use.
+
+    Determinism: the estimate is pure integer (n_agree * 62500); the
+    exact side reuses the pre-rounded jaccard_micro convention.
+
+    Scale: candidates come from the band-bucket equijoin (never the
+    pair space); the estimate join expands candidates by {N_MINHASH}
+    fixed rows; the exact verify is candidate-bounded as in
+    minhash_lsh_pairs."""
+    ds = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
+    perms = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("perm"))
+    hashed = (
+        ds.crossJoin(F.broadcast(perms))
+        .select(
+            "doc_id",
+            "perm",
+            _md5_64(
+                F.concat(F.col("perm").cast("string"), F.lit("#"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+        .localCheckpoint(eager=True)  # feeds banding AND both agree sides
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = (
+        hashed.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("sig")
+        )
+        .select("doc_id", "band", F.md5("sig").alias("bucket"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha = hashed.select(
+        F.col("doc_id").alias("doc_a"), "perm", F.col("minhash").alias("mh_a")
+    )
+    hb = hashed.select(
+        F.col("doc_id").alias("doc_b"), "perm", F.col("minhash").alias("mh_b")
+    )
+    agree = (
+        cand.join(ha, "doc_a")
+        .join(hb, ["doc_b", "perm"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree")
+        )
+    )
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shared = (
+        cand.join(ds.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            ds.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = (
+        agree.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(shared, ["doc_a", "doc_b"], "left")
+        .withColumn("sh", F.coalesce(F.col("shared"), F.lit(0)))
+    )
+    jac_micro = (
+        F.round(
+            F.col("sh").cast("double") / (F.col("na") + F.col("nb") - F.col("sh"))
+            * 1e6
+        ).cast("bigint")
+    )
+    est_micro = (F.col("n_agree") * (1000000 // N_MINHASH)).cast("bigint")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "n_agree",
+        est_micro.alias("est_micro"),
+        jac_micro.alias("jaccard_micro"),
+        (est_micro - jac_micro).alias("err_micro"),
+    )

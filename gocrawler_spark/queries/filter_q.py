@@ -383,3 +383,134 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         red.alias("redacted"),
         F.length(red).cast("long").alias("redacted_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity gate (CCNet-style). LM vocabulary is the
+# corpus top-K tokens — K bounds the broadcast at ANY corpus size, the
+# property that makes this runnable at 100 TB (a full-vocab LM join
+# would be an unbounded broadcast; OOV mass absorbs the tail instead).
+_LM_K = 1024
+
+
+@register(
+    "unigram_lm_nll",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS token FROM documents
+),
+cnt AS (
+  SELECT token, count(*) AS cnt FROM toks GROUP BY token
+),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cnt
+),
+lm AS (
+  SELECT token, cnt FROM cnt ORDER BY cnt DESC, token DESC LIMIT {_LM_K}
+),
+j AS (
+  SELECT t.doc_id,
+         CAST(round(ln(CAST(coalesce(lm.cnt, 0) + 1 AS DOUBLE)
+                       / (tot.n_total + {_LM_K + 1})) * 1e6) AS BIGINT)
+           AS logp_micro
+  FROM toks t LEFT JOIN lm USING (token) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(-sum(logp_micro) AS BIGINT) AS nll_micro,
+       CAST((-sum(logp_micro)) // count(*) AS BIGINT) AS avg_nll_micro
+FROM j GROUP BY doc_id
+""",
+)
+def unigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model negative-log-likelihood per document —
+    the CCNet/Wikipedia-LM perplexity filter reduced to its
+    deterministic core (CCNet uses a KenLM 5-gram; the gate shape —
+    score every doc under a reference LM, threshold on per-token NLL —
+    is identical). Laplace-smoothed over the corpus top-{_LM_K} vocab
+    with a single OOV bucket: p(w) = (c_w + 1) / (N + {_LM_K} + 1),
+    c_w = 0 for OOV.
+
+    Determinism: per-token log-probs are rounded to integer micro-nats
+    BEFORE summing (order-independent BIGINT sum; float-sum
+    association order differs across engines); ln() agrees across
+    JVM/libm to <1 ulp, 9 orders of magnitude below the rounding
+    quantum.
+
+    Scale: one token-count shuffle (map-side combined), top-K via
+    TakeOrderedAndProject, then a BROADCAST join of the K-row LM +
+    1-row total against the token stream and a per-doc partial agg.
+    No corpus-sized join side anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens_of(F.lower(F.col("text")))).alias("token")
+    )
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnt.agg(F.sum("cnt").cast("long").alias("n_total"))
+    lm = cnt.orderBy(F.col("cnt").desc(), F.col("token").desc()).limit(_LM_K)
+    logp = (
+        F.round(
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                / (F.col("n_total") + F.lit(_LM_K + 1))
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("logp_micro")
+    )
+    j = (
+        toks.join(F.broadcast(lm), "token", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", logp)
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            (-F.sum("logp_micro")).cast("long").alias("nll_micro"),
+        )
+        .withColumn("avg_nll_micro", F.expr("nll_micro DIV n_tok"))
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "host_quality_stats",
+    """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+       CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars
+FROM documents GROUP BY source
+""",
+)
+def host_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level curation stats (RefinedWeb-style): per source (the
+    host analog in the synthetic schema) — doc count, English share,
+    char volume, exact-duplicate count (docs minus distinct md5(text)),
+    floor-mean length. The per-HOST aggregate is what drives
+    source-level keep/drop decisions (spam hosts, mirror hosts) that
+    per-doc gates can't see.
+
+    Scale: one groupBy on the host key with map-side combine; the
+    distinct-dup count piggybacks the same shuffle (partial distinct
+    per partition). Hot hosts are the north_rule's known skew — AQE
+    skew-split applies; the aggregate itself is algebraic."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("n_en"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+            .cast("long")
+            .alias("n_exact_dups"),
+        )
+        .withColumn("avg_chars", F.expr("sum_chars DIV n_docs"))
+    )

@@ -168,3 +168,35 @@ def test_pagerank_and_packing_no_cartesian(spark):
     for name in ("events_pagerank", "sequence_packing", "events_rollup_multi"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_unigram_lm_joins_broadcast(spark):
+    """The LM (top-K vocab) and the 1-row total must broadcast against
+    the token stream — a sort-merge join here would shuffle the whole
+    exploded-token relation a second time at 100 TB."""
+    plan = _plan(spark, "unigram_lm_nll")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # reads only (doc_id, text)
+    for s in _read_schemas(plan):
+        assert len(s.split(",")) <= 2, s
+
+
+def test_host_quality_stats_single_agg_scan(spark):
+    """One groupBy on the host key; no join, no Python stage."""
+    plan = _plan(spark, "host_quality_stats")
+    for bad in ("Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, f"{bad} in host_quality_stats plan"
+    for s in _read_schemas(plan):
+        assert len(s.split(",")) <= 4, s
+
+
+def test_minhash_jaccard_estimate_no_pair_space(spark):
+    """Candidates come from the band-bucket equijoin; no cartesian or
+    nested-loop pair enumeration anywhere in the plan."""
+    plan = _plan(spark, "minhash_jaccard_estimate")
+    assert "CartesianProduct" not in plan
+    # the only BroadcastNestedLoopJoin-free guarantee: candidate join
+    # and verify join are hash equijoins
+    assert "BroadcastNestedLoopJoin" not in plan
