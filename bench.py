@@ -457,19 +457,41 @@ def main_scaling(levels=(8, 32), reps=2):
     kept); if the file or markers are missing, a minimal doc is
     written."""
     lo, hi = levels
-    runs: dict[int, list[dict]] = {lo: [], hi: []}
-    for _ in range(reps):
-        for cpus in (lo, hi):  # interleaved to cancel machine drift
+
+    def one_jvm(cpus: int) -> dict | None:
+        """One fresh-JVM measurement; retry once on failure (this VM
+        shows transient JVM deaths under back-to-back 48g heaps) and
+        surface the subprocess stderr tail instead of aborting the
+        whole interleaved protocol."""
+        for attempt in (1, 2):
             p = subprocess.run(
                 [sys.executable, __file__, "--frontier-only", str(cpus)],
                 capture_output=True,
                 text=True,
-                check=True,
             )
-            line = [
+            lines = [
                 l for l in p.stdout.strip().splitlines() if l.startswith("{")
-            ][-1]
-            runs[cpus].append(json.loads(line))
+            ]
+            if p.returncode == 0 and lines:
+                return json.loads(lines[-1])
+            tail = "\n".join(p.stderr.strip().splitlines()[-12:])
+            sys.stderr.write(
+                f"[scaling] local[{cpus}] attempt {attempt} failed "
+                f"(rc={p.returncode}); stderr tail:\n{tail}\n"
+            )
+        return None
+
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(reps):
+        for cpus in (lo, hi):  # interleaved to cancel machine drift
+            r = one_jvm(cpus)
+            if r is not None:
+                runs[cpus].append(r)
+    for cpus, rs in runs.items():
+        if not rs:
+            raise RuntimeError(
+                f"no successful measurement at local[{cpus}] after retries"
+            )
     best = {c: max(rs, key=lambda r: r["urls_per_sec"]) for c, rs in runs.items()}
     t_lo, t_hi = best[lo]["urls_per_sec"], best[hi]["urls_per_sec"]
     eff = (t_hi / t_lo) / (hi / lo)
