@@ -100,6 +100,11 @@ HEADLINE = [
     "unigram_lm_nll",
     "host_quality_stats",
     "minhash_jaccard_estimate",
+    "inverted_index_stats",
+    "bm25_topk",
+    "tfidf_topterms",
+    "domain_mixture_weights",
+    "image_shard_packing",
 ]
 
 

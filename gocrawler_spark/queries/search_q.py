@@ -1,0 +1,448 @@
+r"""Ranked-retrieval and training-mixture queries.
+
+The reference ranks pages by a flat keyword-hit relevance score
+(crawler.go:560-585, T11) over its crawled corpus. This module carries
+that capability to where a corpus engine actually ends up: a real
+inverted index, tf-idf term weighting, BM25 ranked retrieval, and —
+on the training-data side — DoReMi-style domain mixture reweighting
+and webdataset-style image shard layout.
+
+Determinism (see queries/__init__ header): every float is rounded to
+``*_micro`` / ``*_ppm`` BIGINT with the double arithmetic written in
+the identical operation order on both engines; cross-row sums are sums
+of pre-rounded BIGINTs (order-independent); ``ln``/``sqrt`` agree
+across engines (same precedent as ``unigram_lm_nll``); every top-k
+uses a total order over (rounded metric, unique key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gocrawler_spark.functions import text as TX
+from gocrawler_spark.queries import load, register
+from gocrawler_spark.queries.crawler_q import TOKS_SQL
+
+_EN_TOKS_SQL = f"""
+  SELECT doc_id, unnest({TOKS_SQL}) AS token
+  FROM documents WHERE lang = 'en'
+"""
+
+
+def _en_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return docs.select(
+        "doc_id", F.explode(TX.tokens_of(F.lower(F.col("text")))).alias("token")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "inverted_index_stats",
+    f"""
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM ({_EN_TOKS_SQL})
+  GROUP BY doc_id, token
+),
+agg AS (
+  SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+         CAST(max(tf) AS BIGINT) AS max_tf
+  FROM tf GROUP BY token
+),
+top AS (
+  SELECT t.token, min(t.doc_id) AS top_doc
+  FROM tf t JOIN agg a ON t.token = a.token AND t.tf = a.max_tf
+  GROUP BY t.token
+)
+SELECT a.token, a.df, a.tf_total, a.max_tf, top.top_doc
+FROM agg a JOIN top ON a.token = top.token
+WHERE a.df >= 5
+ORDER BY a.df DESC, a.token DESC
+LIMIT 200
+""",
+)
+def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting-list statistics: for every term with
+    document frequency >= 5, its df, total term frequency, the max
+    per-doc tf, and the canonical top posting (lowest doc_id among the
+    argmax docs — a deterministic tie-break, not engine luck).
+
+    Scale: per-(doc, token) tf is a map-side-combinable groupBy; the
+    term rollup and the argmax join are both keyed on `token`, so at
+    scale they share one hash partitioning (at test SF, AQE broadcasts
+    the argmax side instead — both shapes are shuffle-minimal).
+    Posting lists are never materialized as arrays; everything stays
+    relational, which is exactly how a 1e10-doc index build stays
+    bounded."""
+    tf = (
+        _en_toks(spark, sf_dir)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    agg = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("tf_total"),
+        F.max("tf").alias("max_tf"),
+    )
+    top = (
+        tf.join(agg.select("token", "max_tf"), "token")
+        .filter(F.col("tf") == F.col("max_tf"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("top_doc"))
+    )
+    return (
+        agg.join(top, "token")
+        .filter(F.col("df") >= 5)
+        .select("token", "df", "tf_total", "max_tf", "top_doc")
+        .orderBy(F.desc("df"), F.desc("token"))
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("join", "window", "vector", "spark")
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "bm25_topk",
+    f"""
+WITH toks AS ({_EN_TOKS_SQL}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+qtf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM toks WHERE token IN ({_TERMS_SQL})
+  GROUP BY doc_id, token
+),
+dfs AS (SELECT token, count(*) AS df FROM qtf GROUP BY token),
+idf AS (
+  SELECT token,
+         CAST(round(1000000.0 * ln(
+           (CAST(t.n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0
+         )) AS BIGINT) AS idf_micro
+  FROM dfs, tot t
+),
+contrib AS (
+  SELECT q.doc_id,
+         CAST(round(
+           CAST(i.idf_micro AS DOUBLE) * (q.tf * 2.2)
+           / (CAST(q.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE)
+                        / (CAST(t.sum_dl AS DOUBLE) / CAST(t.n_docs AS DOUBLE)))))
+         ) AS BIGINT) AS c
+  FROM qtf q JOIN dl d ON q.doc_id = d.doc_id
+             JOIN idf i ON q.token = i.token, tot t
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro, count(*) AS n_terms
+FROM contrib GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 4-term query
+    — the principled upgrade of the reference's flat keyword-hit score
+    (crawler.go:560-585). Robertson idf = ln(1 + (N - df + .5)/(df +
+    .5)), per-(doc, term) contributions rounded to integer micro before
+    the per-doc sum so ranking is engine-exact.
+
+    Scale: query-term postings are filtered directly above the token
+    explode, BEFORE any aggregation or shuffle (a real index would
+    seek the postings; a scan-time engine can do no better than
+    filter-first), so the scored relation is O(docs containing a
+    query term), not O(corpus tokens); idf and
+    the corpus stats (N, avgdl) are tiny dims joined by broadcast. The
+    one big shuffle is the per-doc tf groupBy. Doc lengths (`dl`) would
+    be a precomputed column of a real index — here they are derived in
+    the same job from the same scan."""
+    toks = _en_toks(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tot = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    qtf = (
+        toks.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = qtf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfs.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(
+            F.lit(1000000.0)
+            * F.log(
+                (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    contrib = (
+        qtf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(idf), "token")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf_micro").cast("double")
+                * (F.col("tf") * F.lit(2.2))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)
+                    )
+                )
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("score_micro"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_topterms",
+    f"""
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM ({_EN_TOKS_SQL})
+  GROUP BY doc_id, token
+),
+dfs AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+tot AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT t.doc_id, t.token,
+         CAST(round(1000000.0 * t.tf
+              * ln(CAST(x.n_docs AS DOUBLE) / d.df)) AS BIGINT)
+           AS tfidf_micro
+  FROM tf t JOIN dfs d ON t.token = d.token, tot x
+)
+SELECT doc_id, rnk, token, tfidf_micro FROM (
+  SELECT doc_id, token, tfidf_micro,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_micro DESC, token ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+""",
+)
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf terms (idf = ln(N/df)) — the document
+    fingerprint a retrieval or clustering stage keys on. Scores are
+    micro-rounded BEFORE ranking and ties break on the term string, so
+    the top-3 set is engine-exact.
+
+    Scale: tf and df share the token-keyed shuffle (exchange reuse);
+    the df relation is vocabulary-sized — joined on token as a plain
+    shuffle join because vocabulary at 100 TB (1e9+ types) is NOT
+    broadcastable, exactly the case where hinting broadcast would be
+    wrong. The per-doc top-3 is a partitioned window, no global sort."""
+    tf = (
+        _en_toks(spark, sf_dir)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    tot = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfs, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.lit(1000000.0)
+                * F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            )
+            .cast("long")
+            .alias("tfidf_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_micro"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "token", "tfidf_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "domain_mixture_weights",
+    f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({TOKS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+g AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(sum(n_tokens) OVER () AS BIGINT) AS tot,
+         count(*) OVER () AS k,
+         CAST(round(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)
+              / CAST(sum(n_tokens) OVER () AS BIGINT))) AS BIGINT) AS s_micro
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       CAST(round(1000000.0 * n_tokens / tot) AS BIGINT) AS share_ppm,
+       CAST(round(1000000.0 * tot / (k * n_tokens)) AS BIGINT) AS weight_micro,
+       CAST(round(1000000.0 * s_micro / (CAST(sum(s_micro) OVER () AS BIGINT)))
+         AS BIGINT) AS tau_share_ppm
+FROM g
+""",
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-lite training-mixture reweighting: per source, its token
+    share, the uniform-target resampling weight (target/observed), and
+    a temperature-flattened (tau = 0.5, i.e. sqrt) share renormalized
+    the order-independent way — per-source sqrt shares are micro-
+    rounded FIRST, then summed as exact BIGINTs, so the normalizer
+    never depends on float association order.
+
+    Scale: one map-side-combinable groupBy on `source`; the stratum
+    relation is one row per source (tiny), so the OVER () windows are
+    windows over a dim table, not the corpus. At 100 TB this is the
+    cheapest query in the pipeline and the one that steers everything
+    downstream."""
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(TX.tokens_of(F.lower(F.col("text")))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w0 = Window.partitionBy()
+    g = per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_tokens").over(w0).cast("long").alias("tot"),
+        F.count(F.lit(1)).over(w0).alias("k"),
+        F.round(
+            F.lit(1000000.0)
+            * F.sqrt(
+                F.col("n_tokens").cast("double")
+                / F.sum("n_tokens").over(w0).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("s_micro"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.lit(1000000.0) * F.col("n_tokens") / F.col("tot"))
+        .cast("long")
+        .alias("share_ppm"),
+        F.round(
+            F.lit(1000000.0) * F.col("tot") / (F.col("k") * F.col("n_tokens"))
+        )
+        .cast("long")
+        .alias("weight_micro"),
+        F.round(
+            F.lit(1000000.0)
+            * F.col("s_micro")
+            / F.sum("s_micro").over(w0).cast("long")
+        )
+        .cast("long")
+        .alias("tau_share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+_SHARD_BYTES = 65536
+
+
+def _image_shard_sql() -> str:
+    # derive (iid, pixel_bytes, fmt) in SQL exactly as the payload path
+    # does — shared w/h derivation lives in image_q.wh_case_sql
+    from gocrawler_spark.queries.image_q import N_DOCS, wh_case_sql
+
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS iid,
+         CASE WHEN doc_id % 3 = 0 THEN 'qjpg' ELSE 'png' END AS fmt,
+         {wh_case_sql("doc_id")}
+  FROM documents WHERE doc_id < {N_DOCS}
+),
+spans AS (
+  SELECT iid, fmt, CAST(w * h * 3 AS BIGINT) AS px,
+         CAST(sum(w * h * 3) OVER (ORDER BY iid
+              ROWS UNBOUNDED PRECEDING) - w * h * 3 AS BIGINT) AS start_off
+  FROM dims
+)
+SELECT start_off // {_SHARD_BYTES} AS shard_id,
+       count(*) AS n_images,
+       CAST(sum(px) AS BIGINT) AS pixel_bytes,
+       CAST(sum(CASE WHEN fmt = 'qjpg' THEN 1 ELSE 0 END) AS BIGINT) AS n_qjpg,
+       min(iid) AS first_id, max(iid) AS last_id
+FROM spans
+GROUP BY shard_id
+"""
+
+
+@register("image_shard_packing", _image_shard_sql())
+def image_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webdataset-style image shard layout over the input_hint payload
+    table: images in ingest order are assigned to fixed-byte-budget
+    training shards by the first-byte rule (shard = start_offset //
+    budget over the decoded-pixel byte stream — the image-axis sibling
+    of `sequence_packing`'s concat-and-chunk). Per shard: image count,
+    pixel-byte fill, lossy/lossless mix, and the id span (webdataset
+    shards are contiguous id ranges by construction — this column pair
+    is the check).
+
+    Scale: the Spark side reads w/h/fmt from the REAL payload table
+    (mapInPandas decode path — payload bytes never shuffle; only the
+    3-column metadata projection enters the window). The cumsum is the
+    one ordered window; at 1e10 images it is the standard hierarchical
+    two-pass prefix sum (per-partition subtotals -> broadcast offsets),
+    same note as `sequence_packing`."""
+    from gocrawler_spark.queries.image_q import images_from_documents
+
+    imgs = images_from_documents(spark, sf_dir).select(
+        F.col("image_id").cast("long").alias("iid"), "w", "h", "fmt"
+    )
+    px = (F.col("w") * F.col("h") * F.lit(3)).cast("long")
+    w0 = Window.orderBy("iid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spans = imgs.select(
+        "iid",
+        "fmt",
+        px.alias("px"),
+        (F.sum(px).over(w0) - px).cast("long").alias("start_off"),
+    )
+    return (
+        spans.withColumn("shard_id", F.expr(f"start_off div {_SHARD_BYTES}"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("px").cast("long").alias("pixel_bytes"),
+            F.sum((F.col("fmt") == "qjpg").cast("int"))
+            .cast("long")
+            .alias("n_qjpg"),
+            F.min("iid").alias("first_id"),
+            F.max("iid").alias("last_id"),
+        )
+    )
