@@ -105,6 +105,7 @@ HEADLINE = [
     "tfidf_topterms",
     "domain_mixture_weights",
     "image_shard_packing",
+    "crawl_polite_8waves",
 ]
 
 

@@ -267,3 +267,61 @@ class ReferenceOracle:
             if not self.do_next_link():
                 break
         return self.res
+
+
+class PoliteOracle(ReferenceOracle):
+    """ReferenceOracle + the engine's politeness semantics (robots
+    gate) at wave_size=1 — the independent twin behind the
+    `crawl_polite_5waves` driver-gate fixture.
+
+    Semantics mirrored (independently re-implemented, not imported
+    from the engine — plans/crawl.py:417-441, operators/politeness.py):
+    - robots rules are fetched once per domain at selection time and
+      cached for the whole crawl;
+    - a selected URL whose path starts with any disallowed prefix is
+      REFUSED: never fetched, never served from the page cache, no
+      transport-failure count (refusals don't re-report), status -> 3,
+      no link expansion, no document pipeline;
+    - the domain counter still increments at selection (the reference's
+      getNextLink quirk fires before any politeness decision);
+    - the crawl-delay token budget is a per-wave cap and is a no-op at
+      wave_size=1 (cap >= 1 and each wave holds one URL) — exercised
+      separately in tests/test_politeness.py.
+
+    The robots CONTENT comes from the same deterministic generator the
+    engine's synthetic fetcher uses (synthetic_robots — it is the
+    web's data, like fetch_page); only the gating logic is at stake
+    here and is written from scratch.
+    """
+
+    def __init__(self, cfg: CrawlConfig, fetcher: Fetcher, is_english=None,
+                 robots_fn=None, seed: int = 42):
+        super().__init__(cfg, fetcher, is_english)
+        if robots_fn is None:
+            from gocrawler_spark.operators.politeness import synthetic_robots
+
+            robots_fn = lambda d: synthetic_robots(d, seed)  # noqa: E731
+        self.robots_fn = robots_fn
+        self.robots_cache: dict[str, tuple[list[str], int]] = {}
+
+    @staticmethod
+    def _path(url: str) -> str:
+        """Path component incl. leading slash ('' when absent)."""
+        rest = url.split("://", 1)[-1]
+        i = rest.find("/")
+        return rest[i:] if i >= 0 else ""
+
+    def _robots_disallowed(self, url: str) -> bool:
+        domain = pyref.get_domain(url)
+        rules = self.robots_cache.get(domain)
+        if rules is None:
+            rules = self.robots_fn(domain)
+            self.robots_cache[domain] = rules
+        prefixes, _delay = rules
+        path = self._path(url)
+        return any(path.startswith(p) for p in prefixes)
+
+    def download_cached(self, url: str) -> tuple[str, list[str], bool]:
+        if self._robots_disallowed(url):
+            return "", [], False  # refused: no fetch, no cache, no count
+        return super().download_cached(url)

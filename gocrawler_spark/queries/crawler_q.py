@@ -390,6 +390,47 @@ def crawl_frontier_5waves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The POLITENESS path under the oracle gate (north_rule: "per-host
+# politeness tokens + robots.txt caching"): same engine loop with the
+# robots cache + gate enabled. The fixture comes from PoliteOracle
+# (oracle/pyoracle.py) — an independent plain-Python twin of the
+# refusal semantics; 8 waves so the synthetic robots rules actually
+# refuse URLs inside the window (two /story-* fetches are disallowed
+# and must surface as status 3 with no link expansion and no
+# transport-failure count). Regenerate with
+# scripts/regen_crawl_fixtures.py.
+_POLITE_W8 = os.path.join(_FIXTURES, "crawl_polite_w8.csv")
+
+
+@register(
+    "crawl_polite_8waves",
+    f"""
+SELECT url, domain, CAST(count AS BIGINT) AS count,
+       CAST(status AS INT) AS status, CAST(seq AS BIGINT) AS seq
+FROM read_csv('{_POLITE_W8}', header=true)
+""",
+)
+def crawl_polite_8waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight exact-mode waves with use_robots=True: the frontier must
+    equal the PoliteOracle's pool byte-for-byte — this gates the
+    robots-cache fetch-once behavior, the disallow-prefix refusal path
+    (status 3, no cache hit, no failure count, no expansion), and the
+    selection-time domain-counter quirk interacting with refusals."""
+    from gocrawler_spark.config import test_profile
+    from gocrawler_spark.plans.crawl import CrawlEngine
+
+    eng = CrawlEngine(spark, test_profile(wave_size=1), use_robots=True)
+    st = eng.run(max_steps=8)
+    return st.frontier.select(
+        "url",
+        "domain",
+        F.col("count").cast("long").alias("count"),
+        F.col("status").cast("int").alias("status"),
+        F.col("seq").cast("long").alias("seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
 @register(
     "bigrams_top100",
     f"""

@@ -101,3 +101,45 @@ def test_engine_robots_integration(spark):
         .agg(F.count("*").alias("n"))
     )
     assert per.filter(F.col("n") > 4).count() == 0
+
+
+def test_polite_fixture_matches_fresh_oracle():
+    """Drift guard: the committed crawl_polite_w8.csv fixture must
+    equal a fresh PoliteOracle run — if config/synthetic-web/robots
+    data changes, this fails before the driver gate does."""
+    import csv
+    import os
+
+    from gocrawler_spark.oracle.pyoracle import PoliteOracle
+    from gocrawler_spark.sources import synthetic_web as SW
+
+    res = PoliteOracle(_tp(wave_size=1), SW.fetch_page).run(max_iters=8)
+    fresh = [
+        (e.url, e.domain, str(e.count), str(e.status), str(i))
+        for i, e in enumerate(res.pool)
+    ]
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "gocrawler_spark", "fixtures", "crawl_polite_w8.csv",
+    )
+    with open(path) as f:
+        committed = [tuple(r) for r in list(csv.reader(f))[1:]]
+    assert fresh == committed
+    # the refusal path is actually exercised inside the window
+    assert any(r[3] == "3" for r in committed)
+
+
+def test_polite_refusals_are_not_transport_failures():
+    """A robots-refused URL must not increment the domain failure
+    counter (refusals don't re-report — same rule as cache refusals)."""
+    from gocrawler_spark.oracle.pyoracle import PoliteOracle
+    from gocrawler_spark.sources import synthetic_web as SW
+
+    o = PoliteOracle(_tp(wave_size=1), SW.fetch_page)
+    o.run(max_iters=8)
+    refused = [e.url for e in o.pool if e.status == 3]
+    assert refused  # the window sees refusals
+    for u in refused:
+        from gocrawler_spark.functions import pyref
+
+        assert o.fail_log.get(pyref.get_domain(u), 0) == 0
