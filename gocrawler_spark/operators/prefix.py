@@ -1,0 +1,95 @@
+"""Distributed ordered prefix sum — no single-partition window.
+
+`F.sum(x).over(Window.orderBy(k))` funnels every row through ONE task
+(Spark warns: "No Partition Defined for Window operation"). That is
+the textbook scale-killer for concat-and-chunk layouts (sequence
+packing, webdataset shard packing) whose only "hard" step is a global
+running total in ingest order.
+
+`exclusive_prefix_sum` decomposes it the same way the frontier's
+`_assign_seq` does (operators/frontier.py:33-80), generalized to a
+flat numeric order key:
+
+1. bucket rows by order-preserving ranges of the key
+   (``(k - lo) * n_buckets div (hi - lo + 1)`` — lo/hi come from a
+   broadcast 1-row aggregate, so the plan stays lazy, no driver
+   action);
+2. cumsum WITHIN each bucket: window partitioned by bucket — fully
+   parallel, each task sees ~n/n_buckets rows;
+3. per-bucket totals: one row per bucket (n_buckets ≈ thousands, not
+   billions) through a small ordered window → each bucket's global
+   starting offset;
+4. broadcast the offsets back onto the buckets.
+
+The result is byte-identical to the global window whenever the order
+key is unique (asserted by tests/test_prefix.py property test); ties
+would make "exclusive prefix" ambiguous the same way they do for the
+global window, so unique keys are a documented precondition.
+
+Cost: one extra small shuffle (step 3's n_buckets rows) versus the
+global window's serial bottleneck. At 1e10 rows with 4096 buckets each
+task cumsums ~2.4M rows — embarrassingly parallel; the serial section
+is the 4096-row offset window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out_col: str = "prefix",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Add `out_col` = sum of `val_col` over all rows with a strictly
+    smaller `order_col` (exclusive running total in key order).
+
+    `order_col` must be numeric and unique per row. Output schema is
+    the input plus `out_col` (long); no other columns are touched.
+    """
+    k = F.col(order_col).cast("long")
+
+    # order-preserving range bucketing; the (lo, hi) scalar rides in as
+    # a broadcast single-row join so the whole plan stays declarative
+    rng = df.agg(
+        F.min(k).alias("__lo"), F.max(k).alias("__hi")
+    )
+    b = df.join(F.broadcast(rng)).withColumn(
+        "__bucket",
+        ((k - F.col("__lo")) * n_buckets / (F.col("__hi") - F.col("__lo") + 1))
+        .cast("long"),
+    )
+
+    in_bucket = Window.partitionBy("__bucket").orderBy(k)
+    local = b.withColumn(
+        "__local",
+        F.sum(F.col(val_col)).over(in_bucket) - F.col(val_col),
+    )
+
+    # one row per bucket -> tiny ordered window for the global offsets
+    totals = (
+        b.groupBy("__bucket")
+        .agg(F.sum(F.col(val_col)).alias("__tot"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__tot").over(
+                    Window.orderBy("__bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__bucket", "__offset")
+    )
+
+    return (
+        local.join(F.broadcast(totals), "__bucket")
+        .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("long"))
+        .drop("__bucket", "__lo", "__hi", "__local")
+    )

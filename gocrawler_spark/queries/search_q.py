@@ -414,24 +414,20 @@ def image_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the Spark side reads w/h/fmt from the REAL payload table
     (mapInPandas decode path — payload bytes never shuffle; only the
-    3-column metadata projection enters the window). The cumsum is the
-    one ordered window; at 1e10 images it is the standard hierarchical
-    two-pass prefix sum (per-partition subtotals -> broadcast offsets),
-    same note as `sequence_packing`."""
+    3-column metadata projection enters the cumsum). The cumsum is the
+    hierarchical two-pass prefix sum (operators/prefix.py:
+    bucket-local cumsum + broadcast per-bucket offsets), NOT a
+    single-partition global window — same operator as
+    `sequence_packing`."""
+    from gocrawler_spark.operators.prefix import exclusive_prefix_sum
     from gocrawler_spark.queries.image_q import images_from_documents
 
     imgs = images_from_documents(spark, sf_dir).select(
         F.col("image_id").cast("long").alias("iid"), "w", "h", "fmt"
     )
     px = (F.col("w") * F.col("h") * F.lit(3)).cast("long")
-    w0 = Window.orderBy("iid").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    spans = imgs.select(
-        "iid",
-        "fmt",
-        px.alias("px"),
-        (F.sum(px).over(w0) - px).cast("long").alias("start_off"),
+    spans = exclusive_prefix_sum(
+        imgs.select("iid", "fmt", px.alias("px")), "iid", "px", "start_off"
     )
     return (
         spans.withColumn("shard_id", F.expr(f"start_off div {_SHARD_BYTES}"))

@@ -9,7 +9,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 from gocrawler_spark.functions import text as TX
 from gocrawler_spark.queries import load, register
@@ -404,22 +403,21 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     order gives every doc its global token offset; the per-sequence
     rollup explodes each doc over the (few) sequences it spans.
 
-    Scale: the cumsum is the one ordered window; at 100 TB you compute
-    it hierarchically (per-partition subtotals -> broadcast prefix
-    offsets -> partition-local cumsum), a textbook two-pass prefix
-    sum — the layout itself (floor divisions on offsets) is
+    Scale: the cumsum is the hierarchical two-pass prefix sum
+    (operators/prefix.py — bucket-local cumsum, one small window over
+    per-bucket totals, broadcast offsets back), NOT a single-partition
+    global window; the layout itself (floor divisions on offsets) is
     embarrassingly parallel once offsets exist. Explode fanout is
     n_docs + total_tokens/SEQ_LEN, linear in input."""
+    from gocrawler_spark.operators.prefix import exclusive_prefix_sum
+
     docs = load(spark, sf_dir, "documents")
     counts = docs.select(
         "doc_id",
-        F.size(TX.analyzed_tokens(F.col("text"), CFG)).alias("n_tok"),
+        F.size(TX.analyzed_tokens(F.col("text"), CFG)).cast("long").alias("n_tok"),
     ).filter(F.col("n_tok") > 0)
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spans = counts.select(
-        "doc_id",
-        "n_tok",
-        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_tok"),
+    spans = exclusive_prefix_sum(counts, "doc_id", "n_tok", "start_tok").select(
+        "doc_id", "n_tok", "start_tok"
     )
     L = _SEQ_LEN
     exploded = spans.select(
