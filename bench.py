@@ -106,6 +106,8 @@ HEADLINE = [
     "domain_mixture_weights",
     "image_shard_packing",
     "crawl_polite_8waves",
+    "stem_spec_vocab",
+    "stemmed_corpus_top100",
 ]
 
 

@@ -54,6 +54,26 @@ def top_k(freq: DataFrame, k: int = 100) -> DataFrame:
     return rsort(freq).limit(k)
 
 
+def kv_remove_at(freq: DataFrame, s: int) -> DataFrame:
+    """W6 kvSliceRemoveItem (crawler.go:940-945, an unused helper even
+    in the reference): delete the element at 0-based rank ``s`` of the
+    W1 total order (count desc, token desc), keeping the rest.
+
+    The reference's call shape is the ≤101-row limited n-gram slice
+    (the bound at crawler.go:930), so the relation is driver-small by
+    construction and a single-partition row_number window is the
+    honest plan; for unbounded inputs positional deletes are the wrong
+    abstraction — re-filter the source instead."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("count"), F.desc("token"))
+    return (
+        freq.withColumn("_rn", F.row_number().over(w) - 1)
+        .filter(F.col("_rn") != s)
+        .drop("_rn")
+    )
+
+
 def load_corpus_file(spark, path: str) -> DataFrame:
     """S9 loader (corpusfreqlib/corpusfreqlib.go:50-96): parse the BNC
     ``all.num`` line format ``"%d %s %s %d"`` into

@@ -95,4 +95,5 @@ from gocrawler_spark.queries import ngram_q  # noqa: E402,F401
 from gocrawler_spark.queries import pipeline_q  # noqa: E402,F401
 from gocrawler_spark.queries import rel_q  # noqa: E402,F401
 from gocrawler_spark.queries import search_q  # noqa: E402,F401
+from gocrawler_spark.queries import stem_q  # noqa: E402,F401
 from gocrawler_spark.queries import text_q  # noqa: E402,F401

@@ -159,3 +159,27 @@ def test_engine_snapshot_files_match_state(spark, tmp_path):
     pairs = [(int(cnt), tok) for cnt, tok, _, _ in lines]
     # W1 total order: count desc, ties token desc
     assert pairs == sorted(pairs, key=lambda p: (-p[0], [-ord(c) for c in p[1]]))
+
+
+# --------------------------------------------------------------- W6
+def test_kv_remove_at_matches_go_append_semantics(spark):
+    """kvSliceRemoveItem (crawler.go:940-945): append(s[:i], s[i+1:]...)
+    deletes index i of the rank-ordered slice, preserving the rest in
+    order. Compare against the same operation on the Python list."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(token="the", count=9),
+        Row(token="spark", count=7),
+        Row(token="query", count=7),  # tie broken token desc: spark first
+        Row(token="join", count=2),
+    ]
+    df = spark.createDataFrame(rows)
+    ranked = [("the", 9), ("spark", 7), ("query", 7), ("join", 2)]
+    for s in range(len(ranked)):
+        got = [
+            (r["token"], r["count"])
+            for r in CO.rsort(CO.kv_remove_at(df, s)).collect()
+        ]
+        want = ranked[:s] + ranked[s + 1 :]
+        assert got == want, (s, got, want)

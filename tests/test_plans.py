@@ -200,3 +200,17 @@ def test_minhash_jaccard_estimate_no_pair_space(spark):
     # the only BroadcastNestedLoopJoin-free guarantee: candidate join
     # and verify join are hash equijoins
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stemmed_corpus_vocab_bounded_python(spark):
+    """T6 scale shape: Python (MapInPandas) touches ONLY the distinct
+    vocab relation and its output is broadcast back onto the freq
+    aggregate — never a Python eval over corpus rows — and the top-k
+    is TakeOrderedAndProject, not a full sort."""
+    plan = _plan(spark, "stemmed_corpus_top100")
+    assert plan.count("MapInPandas") == 1
+    # the stem map is the broadcast build side of the join
+    bcast = plan[plan.index("BroadcastExchange"):]
+    assert "MapInPandas" in bcast
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
