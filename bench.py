@@ -422,10 +422,19 @@ def run_queries(spark) -> dict:
 def main_bench():
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    q = run_queries(spark)
+    # North-metric segments (frontier/bloom/cuckoo) run FIRST, in a
+    # warm but otherwise clean JVM: measured 1.72M URLs/s when the
+    # same segment ran after the 81-query suite vs 2.25M+ fresh — the
+    # suite leaves block-manager/GC pressure that depresses a
+    # throughput metric the query timings don't suffer from (each
+    # query is short; the frontier segment is a sustained 7.5M-row
+    # job). Queries keep their own _warm_session so their timings are
+    # unaffected by the reorder.
+    _warm_session(spark)
     fr = frontier_throughput(spark)
     bl = bloom_throughput(spark)
     ck = cuckoo_throughput(spark)
+    q = run_queries(spark)
     total = round(sum(q.values()) + fr["sec"], 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
