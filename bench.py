@@ -385,6 +385,33 @@ def cuckoo_throughput(spark) -> dict:
     }
 
 
+def noise_canary(spark) -> dict:
+    """Fixed host-speed calibration job, reported alongside every
+    bench run. This VM sits on a shared hypervisor whose contention is
+    invisible in /proc/loadavg yet slows identical Spark jobs 5-10x
+    (measured same-day: the same frontier segment at 3.3 s and 11.6 s
+    min-of-5, load < 0.5 both times). A fixed CPU-bound job — hash +
+    aggregate over 20M rows, no I/O, no UDFs — run 3x gives each
+    BENCH_r*.json its own machine-speed reference, so per-round totals
+    can be read relative to the host's speed at measurement time
+    rather than as absolute regressions."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.time()
+        (
+            spark.range(20_000_000)
+            .select(F.xxhash64("id").alias("h"))
+            .groupBy((F.col("h") % 1024).alias("b"))
+            .agg(F.sum("h").alias("s"))
+            .count()
+        )
+        return time.time() - t0
+
+    runs = [round(once(), 3) for _ in range(3)]
+    return {"rows": 20_000_000, "runs_sec": runs, "min_sec": min(runs)}
+
+
 def _warm_session(spark) -> None:
     """Absorb one-time session costs (codegen compiler, Arrow init,
     Python worker pool spin-up) so per-query timings measure the
@@ -431,6 +458,7 @@ def main_bench():
     # job). Queries keep their own _warm_session so their timings are
     # unaffected by the reorder.
     _warm_session(spark)
+    canary = noise_canary(spark)
     fr = frontier_throughput(spark)
     bl = bloom_throughput(spark)
     ck = cuckoo_throughput(spark)
@@ -445,6 +473,7 @@ def main_bench():
                 "unit": "sec",
                 "queries": q,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "host_canary": canary,
                 "frontier": fr,
                 "bloom": bl,
                 "cuckoo": ck,
@@ -457,8 +486,9 @@ def main_bench():
 def main_frontier_only(cpus: int):
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    canary = noise_canary(spark)
     fr = frontier_throughput(spark)
-    print(json.dumps({"cpus": cpus, **fr}))
+    print(json.dumps({"cpus": cpus, "host_canary": canary, **fr}))
     spark.stop()
 
 
