@@ -108,6 +108,7 @@ HEADLINE = [
     "crawl_polite_8waves",
     "stem_spec_vocab",
     "stemmed_corpus_top100",
+    "doc_length_quantiles",
 ]
 
 

@@ -448,3 +448,38 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_boundary_docs"),
     ).select("seq_id", "n_docs", "n_tokens", "n_boundary_docs")
+
+
+# ---------------------------------------------------------------------------
+_QUANTS = (0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+_QUANT_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT CAST({int(round(q * 1_000_000))} AS BIGINT) AS q_ppm,"
+    f" quantile_disc(n_tok, {q}) AS value FROM lens"
+    for q in _QUANTS
+)
+
+
+@register(
+    "doc_length_quantiles",
+    f"""
+WITH lens AS (SELECT len({TOKS_SQL}) AS n_tok FROM documents)
+{_QUANT_ORACLE}
+""",
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT doc-length order statistics (min/p25/p50/p90/p99/max of
+    per-doc token count) — the distribution cut a curation pipeline
+    sets its length bands from. Not percentile_approx (a sketch whose
+    error is engine tuning) and not a global orderBy (a full-data
+    sort): the two-pass bucket-histogram selection of
+    operators/quantile.py — one histogram pass (≤1024 rows to the
+    driver), one selection pass over only the target buckets, row-scale
+    windows always bucket-partitioned. Matches DuckDB quantile_disc
+    element-for-element (rank k = max(1, ceil(q*n)))."""
+    from gocrawler_spark.operators.quantile import exact_quantiles
+
+    docs = load(spark, sf_dir, "documents")
+    lens = docs.select(
+        TX.tokens_count(F.lower(F.col("text"))).cast("long").alias("n_tok")
+    )
+    return exact_quantiles(lens, "n_tok", _QUANTS, n_buckets=1024)
