@@ -459,11 +459,16 @@ def main_bench():
     # job). Queries keep their own _warm_session so their timings are
     # unaffected by the reorder.
     _warm_session(spark)
+    # canary sampled at BOTH ends: a fast host at t=0 can degrade
+    # mid-run (observed: start canary 0.69 s, then the same ngram
+    # queries 6x slower than their quiet-window costs), and a single
+    # leading sample would misattribute that to the code
     canary = noise_canary(spark)
     fr = frontier_throughput(spark)
     bl = bloom_throughput(spark)
     ck = cuckoo_throughput(spark)
     q = run_queries(spark)
+    canary = {"start": canary, "end": noise_canary(spark)}
     total = round(sum(q.values()) + fr["sec"], 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
