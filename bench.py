@@ -471,6 +471,12 @@ def main_bench():
     canary = {"start": canary, "end": noise_canary(spark)}
     total = round(sum(q.values()) + fr["sec"], 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    scaling = None
+    try:
+        with open("BENCH/scaling_latest.json") as f:
+            scaling = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
     print(
         json.dumps(
             {
@@ -483,6 +489,9 @@ def main_bench():
                 "frontier": fr,
                 "bloom": bl,
                 "cuckoo": ck,
+                # latest `--scaling` sweep (pinned multi-level, DRAM
+                # ceiling) — see BENCH/BASELINE.md Protocol
+                "scaling_evidence": scaling,
             }
         )
     )
@@ -499,26 +508,56 @@ def main_frontier_only(cpus: int):
 
 
 def main_scaling(levels=(8, 32), reps=2):
-    """Run the identical frontier job at two parallelism levels
-    (north_rule two-cluster-size criterion: N and 4N cores).
+    """Run the identical frontier job at several parallelism levels
+    (north_rule two-cluster-size criterion: N and 4N cores; passing
+    more than two levels measures the whole curve, and the efficiency
+    is reported for every (N, 4N) pair present).
 
     Noise protocol (see BENCH/BASELINE.md): levels are interleaved
-    A/B/A/B across `reps` fresh JVMs per level; each JVM itself times
-    5 runs after a warmup and reports the MIN; the level's throughput
-    is the best JVM's. Results are spliced between the RESULTS markers
-    of BENCH/BASELINE.md (the surrounding protocol/caveat prose is
+    round-robin across `reps` fresh JVMs per level; each JVM itself
+    times 5 runs after a warmup and reports the MIN; the level's
+    throughput is the best JVM's. A DRAM-bandwidth probe
+    (scripts/membw_probe.py) runs after the Spark measurements and is
+    reported alongside: the frontier job is scan/join-bound, so on ONE
+    box the 4x-core efficiency of any level pair is physically capped
+    by the socket's bandwidth ratio between those core counts — a cap
+    a real 4x-node cluster does not have (4x nodes = 4x memory
+    channels). Results are spliced between the RESULTS markers of
+    BENCH/BASELINE.md (the surrounding protocol/caveat prose is
     kept); if the file or markers are missing, a minimal doc is
     written."""
-    lo, hi = levels
+    levels = tuple(sorted(set(levels)))
+
+    import shutil
+
+    pin = shutil.which("taskset") is not None
 
     def one_jvm(cpus: int) -> dict | None:
         """One fresh-JVM measurement; retry once on failure (this VM
         shows transient JVM deaths under back-to-back 48g heaps) and
         surface the subprocess stderr tail instead of aborting the
-        whole interleaved protocol."""
+        whole interleaved protocol.
+
+        The JVM is PINNED to exactly `cpus` host cores (taskset) when
+        available: without pinning, a local[8] JVM on a 32-core box
+        still uses all 32 cores for GC/compiler/IO helper threads and
+        Python workers, inflating the small level's throughput and
+        biasing the measured N->4N efficiency DOWN (measured: the
+        unpinned local[8] min improved 1.9x across days while
+        local[32] held, swinging 'efficiency' 0.93 -> 0.47 on
+        identical code). Pinning makes 'N executors' mean N cores of
+        EVERYTHING; the memory bus remains shared — a residual bias
+        that still favors the small level, so the pinned ratio is a
+        conservative lower bound."""
+        cmd = [sys.executable, __file__, "--frontier-only", str(cpus)]
+        if pin:
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         for attempt in (1, 2):
+            # let the previous JVM's derby metastore lock release —
+            # a back-to-back start can fail instantly on the lock
+            time.sleep(5)
             p = subprocess.run(
-                [sys.executable, __file__, "--frontier-only", str(cpus)],
+                cmd,
                 capture_output=True,
                 text=True,
             )
@@ -534,9 +573,9 @@ def main_scaling(levels=(8, 32), reps=2):
             )
         return None
 
-    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    runs: dict[int, list[dict]] = {lv: [] for lv in levels}
     for _ in range(reps):
-        for cpus in (lo, hi):  # interleaved to cancel machine drift
+        for cpus in levels:  # interleaved to cancel machine drift
             r = one_jvm(cpus)
             if r is not None:
                 runs[cpus].append(r)
@@ -546,34 +585,108 @@ def main_scaling(levels=(8, 32), reps=2):
                 f"no successful measurement at local[{cpus}] after retries"
             )
     best = {c: max(rs, key=lambda r: r["urls_per_sec"]) for c, rs in runs.items()}
-    t_lo, t_hi = best[lo]["urls_per_sec"], best[hi]["urls_per_sec"]
-    eff = (t_hi / t_lo) / (hi / lo)
+    tput = {c: best[c]["urls_per_sec"] for c in levels}
+    pairs = [(lo, lo * 4) for lo in levels if lo * 4 in tput]
+    eff = {
+        f"{lo}->{hi}": round((tput[hi] / tput[lo]) / (hi / lo), 3)
+        for lo, hi in pairs
+    }
+
+    # DRAM-bandwidth ceiling: measured AFTER the Spark runs (the probe
+    # saturates the memory bus and would perturb them)
+    membw = None
+    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "membw_probe.py")
+    if os.path.exists(probe):
+        bw_levels = sorted({1, *levels, *(lo * 4 for lo, _ in pairs)})
+        p = subprocess.run(
+            [sys.executable, probe] + [str(x) for x in bw_levels],
+            capture_output=True, text=True,
+        )
+        if p.returncode == 0 and p.stdout.strip().startswith("{"):
+            membw = json.loads(p.stdout.strip().splitlines()[-1])
+
     report = {
         "job": "frontier schedule+dedup (see bench.py frontier_throughput)",
-        "rows": best[lo]["rows"],
-        f"local{lo}_urls_per_sec": t_lo,
-        f"local{hi}_urls_per_sec": t_hi,
-        f"speedup_{lo}_to_{hi}": round(t_hi / t_lo, 3),
-        "scaling_efficiency": round(eff, 3),
-        "protocol": f"interleaved A/B, {reps} JVMs per level, min-of-5 per JVM",
+        "rows": best[levels[0]]["rows"],
+        **{f"local{c}_urls_per_sec": tput[c] for c in levels},
+        "scaling_efficiency": eff,
+        "protocol": (
+            f"interleaved round-robin, {reps} JVMs per level, "
+            "min-of-5 per JVM"
+            + (", JVMs core-pinned via taskset" if pin else "")
+        ),
+        # per-JVM host canaries (comparable WITHIN a level: the canary
+        # itself parallelizes, so 8-core and 32-core canaries differ
+        # intrinsically) — a slow canary flags a contended JVM
+        "host_canaries": {
+            f"local{c}": [
+                r.get("host_canary", {}).get("min_sec") for r in rs
+            ]
+            for c, rs in runs.items()
+        },
+        "dram_bandwidth": membw,
     }
     print(json.dumps(report))
+    # persist for main_bench: each round's BENCH_r*.json then carries
+    # the latest scaling evidence (the driver only runs `python
+    # bench.py`, never --scaling)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling_latest.json", "w") as f:
+        json.dump(report, f)
 
     def fmt_runs(rs):
         return " / ".join(
             ", ".join(str(round(s, 1)) for s in r["runs_sec"]) for r in rs
         )
 
+    def fmt_canaries(rs):
+        return ", ".join(
+            str(r.get("host_canary", {}).get("min_sec", "?")) for r in rs
+        )
+
+    rows_md = "".join(
+        f"| local[{c}] | {best[c]['sec']} | {tput[c]:,} | {fmt_runs(runs[c])} |\n"
+        for c in levels
+    )
+    eff_md = ", ".join(
+        f"{lo}\u2192{hi}: {eff[f'{lo}->{hi}']}" for lo, hi in pairs
+    )
+    canary_md = "; ".join(
+        f"local[{c}]: {fmt_canaries(runs[c])}" for c in levels
+    )
+    bw_md = ""
+    if membw:
+        bw_md = (
+            "- DRAM copy bandwidth on this box (GB/s by concurrent "
+            "pinned cores): "
+            + ", ".join(
+                f"{k}: {v}" for k, v in membw["levels_gbps"].items()
+            )
+            + " \u2014 bandwidth-bound 4\u00d7 efficiency ceiling: "
+            + ", ".join(
+                k.replace("->", "\u2192") + f": {v}"
+                for k, v in membw["efficiency_ceiling_4x"].items()
+            )
+            + " (the frontier job is scan/join-bound; on one box all "
+            "cores share a memory controller, on a real 4\u00d7 "
+            "cluster bandwidth scales with nodes)\n"
+        )
     block = (
-        f"## Results ({__import__('datetime').date.today()}, interleaved A/B, "
-        f"{best[lo]['rows']:,}-row frontier)\n\n"
+        f"## Results ({__import__('datetime').date.today()}, "
+        "interleaved round-robin, "
+        f"{best[levels[0]]['rows']:,}-row frontier"
+        + (", JVMs core-pinned via taskset" if pin else "")
+        + ")\n\n"
         "| parallelism | min wall sec | URLs/sec | all timed runs (sec) |\n"
         "|---|---|---|---|\n"
-        f"| local[{lo}]  | {best[lo]['sec']} | {t_lo:,} | {fmt_runs(runs[lo])} |\n"
-        f"| local[{hi}] |  {best[hi]['sec']} | {t_hi:,} | {fmt_runs(runs[hi])} |\n\n"
-        f"- speedup {lo} \u2192 {hi} cores ({hi // lo}\u00d7 cores): "
-        f"**{round(t_hi / t_lo, 2)}\u00d7**\n"
-        f"- **scaling efficiency: {round(eff, 3)}** (target \u2265 0.8)\n"
+        + rows_md
+        + "\n"
+        f"- **scaling efficiency per 4\u00d7 cores: {eff_md}** "
+        "(target \u2265 0.8)\n"
+        + bw_md
+        + "- per-JVM host-canary mins (within-level contention check): "
+        f"{canary_md}\n"
     )
     os.makedirs("BENCH", exist_ok=True)
     path = "BENCH/BASELINE.md"
@@ -581,7 +694,9 @@ def main_scaling(levels=(8, 32), reps=2):
     try:
         doc = open(path).read()
         assert B in doc and E in doc
-        doc = doc[: doc.index(B) + len(B)] + "\n" + block + doc[doc.index(E):]
+        # first BEGIN .. last END, so historical duplicated markers
+        # inside the block collapse instead of accumulating
+        doc = doc[: doc.index(B) + len(B)] + "\n" + block + doc[doc.rindex(E):]
     except (FileNotFoundError, AssertionError):
         doc = (
             "# BENCH \u2014 frontier throughput + scaling efficiency\n\n"
@@ -593,11 +708,7 @@ def main_scaling(levels=(8, 32), reps=2):
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
-        levels = (
-            (int(sys.argv[2]), int(sys.argv[3]))
-            if len(sys.argv) > 3
-            else (8, 32)
-        )
+        levels = tuple(int(a) for a in sys.argv[2:]) or (8, 32)
         main_scaling(levels)
     elif len(sys.argv) > 1 and sys.argv[1] == "--frontier-only":
         main_frontier_only(int(sys.argv[2]))
