@@ -502,7 +502,11 @@ def main_frontier_only(cpus: int):
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     canary = noise_canary(spark)
-    fr = frontier_throughput(spark)
+    # BENCH_FRONTIER_REPS trades noise robustness for wall clock on the
+    # long large-row sweeps (a local[1] rep at 200M rows is ~5 min;
+    # min-of-3 across 2 interleaved JVMs is still 6 samples per level)
+    reps = int(os.environ.get("BENCH_FRONTIER_REPS", "5"))
+    fr = frontier_throughput(spark, reps=reps)
     print(json.dumps({"cpus": cpus, "host_canary": canary, **fr}))
     spark.stop()
 
@@ -613,7 +617,7 @@ def main_scaling(levels=(8, 32), reps=2):
         "scaling_efficiency": eff,
         "protocol": (
             f"interleaved round-robin, {reps} JVMs per level, "
-            "min-of-5 per JVM"
+            f"min-of-{os.environ.get('BENCH_FRONTIER_REPS', '5')} per JVM"
             + (", JVMs core-pinned via taskset" if pin else "")
         ),
         # per-JVM host canaries (comparable WITHIN a level: the canary
