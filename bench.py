@@ -109,6 +109,10 @@ HEADLINE = [
     "stem_spec_vocab",
     "stemmed_corpus_top100",
     "doc_length_quantiles",
+    "kmeans_semdedup",
+    "recrawl_priority",
+    "host_inlink_stats",
+    "image_ar_buckets",
 ]
 
 

@@ -86,6 +86,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 from gocrawler_spark.queries import crawler_q  # noqa: E402,F401
 from gocrawler_spark.queries import dedup_q  # noqa: E402,F401
 from gocrawler_spark.queries import filter_q  # noqa: E402,F401
+from gocrawler_spark.queries import freshness_q  # noqa: E402,F401
 from gocrawler_spark.queries import funnel_q  # noqa: E402,F401
 from gocrawler_spark.queries import html_q  # noqa: E402,F401
 from gocrawler_spark.queries import image_pipeline_q  # noqa: E402,F401
@@ -95,5 +96,6 @@ from gocrawler_spark.queries import ngram_q  # noqa: E402,F401
 from gocrawler_spark.queries import pipeline_q  # noqa: E402,F401
 from gocrawler_spark.queries import rel_q  # noqa: E402,F401
 from gocrawler_spark.queries import search_q  # noqa: E402,F401
+from gocrawler_spark.queries import semdedup_q  # noqa: E402,F401
 from gocrawler_spark.queries import stem_q  # noqa: E402,F401
 from gocrawler_spark.queries import text_q  # noqa: E402,F401

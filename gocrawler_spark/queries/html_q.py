@@ -73,3 +73,70 @@ def html_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(gen, _OUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Link-graph transpose: in-link aggregation by TARGET host. The crawl
+# engine's F5/A4 in-degree is wave-local (who got linked this wave);
+# a search/quality pipeline also needs the corpus-wide transpose —
+# per-host in-link counts and anchor-URL volume — the input to host
+# authority scores and crawl-budget allocation. The Spark side parses
+# the real markup (S2 parser) and explodes the extracted links; the
+# oracle states the closed-form in-link structure of the rendered web
+# (host l{j}.example is linked by every doc with doc_id % 7 >= j, path
+# '/d{doc_id}/p{j}' is 5 + len(doc_id) chars).
+#
+# Scale shape: parse is one mapInPandas pass, explode is a flatMap (no
+# shuffle), the aggregate is one groupBy(host) with map-side combine —
+# output is O(hosts), the classic high-fan-in reduction.
+from pyspark.sql import functions as F
+
+from gocrawler_spark.functions import urls as U
+
+
+@register(
+    "host_inlink_stats",
+    """
+WITH hosts AS (SELECT unnest(range(7)) AS j),
+inl AS (
+  SELECT h.j, d.doc_id
+  FROM hosts h JOIN documents d ON d.doc_id % 7 >= h.j
+)
+SELECT 'l' || CAST(j AS VARCHAR) || '.example' AS host,
+       CAST(count(*) AS BIGINT) AS n_inlinks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs,
+       CAST(sum(5 + length(CAST(doc_id AS VARCHAR))) AS BIGINT) AS sum_path_len
+FROM inl GROUP BY j
+ORDER BY host
+""",
+)
+def host_inlink_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, links = [], []
+            for r in pdf.itertuples(index=False):
+                doc_id = int(r.doc_id)
+                markup = render_html(
+                    r.text, _links_for(doc_id), title=f"doc {doc_id}"
+                )
+                _, got_links = HT.parse_page(markup)
+                for l in got_links:
+                    doc_ids.append(doc_id)
+                    links.append(l)
+            yield pd.DataFrame({"doc_id": doc_ids, "url": links})
+
+    edges = docs.mapInPandas(gen, "doc_id long, url string")
+    with_host = edges.withColumn("host", U.host_of(F.col("url")))
+    return (
+        with_host.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_inlinks"),
+            F.countDistinct("doc_id").alias("n_src_docs"),
+            F.sum(
+                F.length("url") - F.length("host") - F.lit(8)
+            ).alias("sum_path_len"),
+        )
+        .orderBy("host")
+    )

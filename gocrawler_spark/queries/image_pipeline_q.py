@@ -540,3 +540,98 @@ def image_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed.groupBy("bucket").applyInPandas(
         score_bucket, "a_id long, b_id long, cos_micro long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Aspect-ratio bucketing: multi-resolution image training (SDXL /
+# LAION practice) groups images into a fixed ladder of aspect-ratio
+# buckets so each batch is resized to its bucket's geometry instead of
+# center-cropping everything square — the bucket assignment and the
+# letterbox-waste accounting are the data-pipeline side of that.
+# Assignment: nearest ladder ratio by |round(w*1000/h) - bucket_milli|,
+# ties to the SMALLER bucket value. Waste: the letterbox padding
+# fraction 1000 - round(min(a,b)*1000/max(a,b)) per image (milli).
+#
+# Scale shape: metadata-only projection (payload bytes never move), a
+# 7-row broadcast ladder join, one groupBy(bucket) with map-side
+# combine — O(buckets) output.
+_AR_BUCKETS_MILLI = [500, 667, 750, 1000, 1333, 1500, 2000]
+_AR_VALUES_SQL = ", ".join(f"({b})" for b in _AR_BUCKETS_MILLI)
+
+
+def _image_ar_sql() -> str:
+    from gocrawler_spark.queries.image_q import N_DOCS, wh_case_sql
+
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS iid, {wh_case_sql("doc_id")}
+  FROM documents WHERE doc_id < {N_DOCS}
+),
+ratio AS (
+  SELECT iid, w, h,
+         CAST(round(w * 1000.0 / h) AS BIGINT) AS ratio_milli
+  FROM dims
+),
+assigned AS (
+  SELECT iid, w, h, ratio_milli, bucket_milli FROM (
+    SELECT r.*, b.bucket_milli,
+           row_number() OVER (
+             PARTITION BY r.iid
+             ORDER BY abs(r.ratio_milli - b.bucket_milli) ASC,
+                      b.bucket_milli ASC) AS rnk
+    FROM ratio r, (VALUES {_AR_VALUES_SQL}) b(bucket_milli)
+  ) WHERE rnk = 1
+)
+SELECT bucket_milli,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS sum_px,
+       CAST(sum(1000 - CAST(round(
+              least(ratio_milli, bucket_milli) * 1000.0
+              / greatest(ratio_milli, bucket_milli)) AS BIGINT))
+            AS BIGINT) AS sum_pad_milli
+FROM assigned
+GROUP BY bucket_milli
+ORDER BY bucket_milli
+"""
+
+
+@register("image_ar_buckets", _image_ar_sql())
+def image_ar_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucket histogram + letterbox-waste accounting over
+    the input_hint payload table (Spark side reads the REAL image
+    metadata via the decode path, oracle re-derives it closed-form)."""
+    imgs = images_from_documents(spark, sf_dir).select(
+        F.col("image_id").cast("long").alias("iid"), "w", "h"
+    )
+    ladder = spark.createDataFrame(
+        [(b,) for b in _AR_BUCKETS_MILLI], "bucket_milli long"
+    )
+    ratio = imgs.withColumn(
+        "ratio_milli",
+        F.round(F.col("w") * F.lit(1000.0) / F.col("h")).cast("long"),
+    )
+    w = Window.partitionBy("iid").orderBy(
+        F.abs(F.col("ratio_milli") - F.col("bucket_milli")).asc(),
+        F.col("bucket_milli").asc(),
+    )
+    assigned = (
+        ratio.crossJoin(F.broadcast(ladder))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+    )
+    pad = F.lit(1000) - F.round(
+        F.least("ratio_milli", "bucket_milli")
+        * F.lit(1000.0)
+        / F.greatest("ratio_milli", "bucket_milli")
+    ).cast("long")
+    return (
+        assigned.groupBy("bucket_milli")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(F.col("w").cast("long") * F.col("h"))
+            .cast("long")
+            .alias("sum_px"),
+            F.sum(pad).cast("long").alias("sum_pad_milli"),
+        )
+        .orderBy("bucket_milli")
+    )
