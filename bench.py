@@ -113,6 +113,7 @@ HEADLINE = [
     "recrawl_priority",
     "host_inlink_stats",
     "image_ar_buckets",
+    "robots_parse_verdicts",
 ]
 
 

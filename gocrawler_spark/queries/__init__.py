@@ -95,6 +95,7 @@ from gocrawler_spark.queries import media_q  # noqa: E402,F401
 from gocrawler_spark.queries import ngram_q  # noqa: E402,F401
 from gocrawler_spark.queries import pipeline_q  # noqa: E402,F401
 from gocrawler_spark.queries import rel_q  # noqa: E402,F401
+from gocrawler_spark.queries import robots_q  # noqa: E402,F401
 from gocrawler_spark.queries import search_q  # noqa: E402,F401
 from gocrawler_spark.queries import semdedup_q  # noqa: E402,F401
 from gocrawler_spark.queries import stem_q  # noqa: E402,F401
