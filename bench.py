@@ -114,6 +114,7 @@ HEADLINE = [
     "host_inlink_stats",
     "image_ar_buckets",
     "robots_parse_verdicts",
+    "sitemap_seed_stats",
 ]
 
 

@@ -20,6 +20,9 @@ Implemented semantics (RFC 9309 + the de-facto wildcard extension):
 - ``Crawl-delay``: not in the RFC but honored by most crawlers and by
   the politeness token budget; first valid value in the selected
   groups wins (seconds, int or float);
+- ``Sitemap``: a non-group directive (sitemaps.org protocol) — valid
+  anywhere in the file, applies regardless of agent; all occurrences
+  are collected in file order (feeds `functions/sitemaps.py`);
 - empty ``Disallow:`` = allow everything (classic 1994 idiom);
 - unknown directives and comments (``#`` to end of line) are ignored;
   parsing is line-oriented and never throws on garbage (a crawler
@@ -40,6 +43,8 @@ class RobotsRules:
     rules: tuple[tuple[str, bool], ...] = ()
     crawl_delay_ms: int | None = None
     matched_group: bool = False  # False → no group applied (allow all)
+    # Sitemap: URLs, file order — non-group scope, agent-independent
+    sitemaps: tuple[str, ...] = ()
 
 
 def _match_len(pattern: str, path: str) -> int:
@@ -61,6 +66,7 @@ def parse_robots(text: str, agent: str) -> RobotsRules:
     # group assembly: (agents, rules, delays) triples
     groups: list[tuple[list[str], list[tuple[str, bool]], list[float]]] = []
     cur_agents: list[str] = []
+    sitemap_urls: list[str] = []
     in_agent_run = False  # consecutive User-agent lines open a group
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -77,6 +83,11 @@ def parse_robots(text: str, agent: str) -> RobotsRules:
             cur_agents.append(val.lower())
             continue
         in_agent_run = False
+        if key == "sitemap":
+            # non-group directive: valid anywhere, even before any group
+            if val:
+                sitemap_urls.append(val)
+            continue
         if not groups:
             continue  # rules before any User-agent line: ignored
         _, rules, delays = groups[-1]
@@ -113,9 +124,14 @@ def parse_robots(text: str, agent: str) -> RobotsRules:
             rules=tuple(rules),
             crawl_delay_ms=None if delay is None else int(delay * 1000),
             matched_group=True,
+            sitemaps=tuple(sitemap_urls),
         )
 
-    return collect(True) or collect(False) or RobotsRules()
+    return (
+        collect(True)
+        or collect(False)
+        or RobotsRules(sitemaps=tuple(sitemap_urls))
+    )
 
 
 def is_allowed(rules: RobotsRules, path: str) -> bool:

@@ -98,5 +98,6 @@ from gocrawler_spark.queries import rel_q  # noqa: E402,F401
 from gocrawler_spark.queries import robots_q  # noqa: E402,F401
 from gocrawler_spark.queries import search_q  # noqa: E402,F401
 from gocrawler_spark.queries import semdedup_q  # noqa: E402,F401
+from gocrawler_spark.queries import sitemap_q  # noqa: E402,F401
 from gocrawler_spark.queries import stem_q  # noqa: E402,F401
 from gocrawler_spark.queries import text_q  # noqa: E402,F401
