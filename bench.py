@@ -115,6 +115,7 @@ HEADLINE = [
     "image_ar_buckets",
     "robots_parse_verdicts",
     "sitemap_seed_stats",
+    "warc_roundtrip_stats",
 ]
 
 

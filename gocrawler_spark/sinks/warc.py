@@ -1,0 +1,251 @@
+r"""WARC source + sink (ISO 28500 / WARC 1.1), the web-archive format.
+
+The reference persists fetched pages only as its in-memory/gob cache
+(memoizedFetchUrl, /root/reference/crawler.go:560-585) — nothing a
+downstream system can read. A web-scale crawler's durable fetch log is
+a WARC file set (the Common Crawl / Internet Archive interchange
+format), so the engine gets a real one:
+
+- ``write_warc(df, out_dir)`` — sink a DataFrame of fetched payloads
+  ``(url string, fetch_ts long, content_type string, payload binary)``
+  as WARC segment files, one file per hash-assigned segment, written
+  INSIDE an ``applyInPandas`` task (no payload ever moves to the
+  driver; the returned manifest frame is O(segments)). Records are
+  ``WARC-Type: resource`` with deterministic ``WARC-Record-ID``
+  (uuid5 of url|date) and ``WARC-Block-Digest`` (sha1, base32 — the
+  convention readers verify). ``compress=True`` writes one gzip
+  member PER RECORD concatenated into a ``.warc.gz`` (the standard
+  layout that keeps record-level random access), ``mtime=0`` so the
+  bytes are reproducible.
+- ``read_warc(spark, dir)`` — source the segment files back through
+  Spark's ``binaryFile`` reader + an Arrow-batched parser, verifying
+  each record's block digest. Never throws on garbage: unparseable
+  tails are dropped, foreign record types (warcinfo, request, ...)
+  are skipped.
+
+Scale shape: write is one shuffle (groupBy segment) then pure
+sequential file IO per task; read is an embarrassingly parallel scan
+(one task per file, ``binaryFile`` splits by file). On a cluster
+``out_dir`` must be shared storage (DFS/object store) — executors
+write it directly; local mode uses the local filesystem.
+
+Segment sizing at 100 TB: records are append-only and immutable, so
+pick ``n_segments`` ≈ total_bytes / 1 GiB (the Common Crawl segment
+convention) — each task streams one segment, memory bounded by the
+largest single record, not the segment.
+"""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import hashlib
+import os
+import uuid
+from datetime import datetime, timezone
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SOFTWARE = "gocrawler-spark/0.1"
+
+
+def _iso(ts: int) -> str:
+    return (
+        datetime.fromtimestamp(int(ts), tz=timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%SZ")
+    )
+
+
+def block_digest(payload: bytes) -> str:
+    """``sha1:BASE32`` block digest (the WARC convention)."""
+    return "sha1:" + base64.b32encode(hashlib.sha1(payload).digest()).decode()
+
+
+def build_record(
+    url: str, fetch_ts: int, content_type: str, payload: bytes
+) -> bytes:
+    """One ``resource`` record, byte-deterministic for fixed inputs."""
+    date = _iso(fetch_ts)
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}|{date}")
+    head = (
+        "WARC/1.1\r\n"
+        "WARC-Type: resource\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Block-Digest: {block_digest(payload)}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return head + payload + b"\r\n\r\n"
+
+
+def build_warcinfo(date_ts: int) -> bytes:
+    fields = (
+        f"software: {_SOFTWARE}\r\nformat: WARC file version 1.1\r\n"
+    ).encode("utf-8")
+    date = _iso(date_ts)
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"warcinfo|{date}")
+    head = (
+        "WARC/1.1\r\n"
+        "WARC-Type: warcinfo\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Date: {date}\r\n"
+        "Content-Type: application/warc-fields\r\n"
+        f"Content-Length: {len(fields)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return head + fields + b"\r\n\r\n"
+
+
+def iter_records(blob: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Yield ``(headers, payload)`` per record from one WARC file's
+    bytes (gzipped — possibly multi-member — or plain). Robust: stops
+    at the first structurally unreadable position instead of raising
+    (a crawler's reader must survive truncated segments)."""
+    if blob[:2] == b"\x1f\x8b":
+        try:
+            blob = gzip.decompress(blob)  # handles member concatenation
+        except OSError:
+            return
+    i, n = 0, len(blob)
+    while i < n:
+        while blob[i : i + 2] == b"\r\n":
+            i += 2
+        if i >= n:
+            return
+        if not blob[i:].startswith(b"WARC/"):
+            return
+        he = blob.find(b"\r\n\r\n", i)
+        if he < 0:
+            return
+        headers: dict[str, str] = {}
+        head = blob[i:he].decode("utf-8", "replace")
+        for ln in head.split("\r\n")[1:]:
+            k, _, v = ln.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        start = he + 4
+        if start + clen > n:
+            return  # truncated record
+        yield headers, blob[start : start + clen]
+        i = start + clen
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    n_segments: int = 8,
+    compress: bool = True,
+) -> DataFrame:
+    """Sink ``(url, fetch_ts, content_type, payload)`` rows as WARC
+    segments under ``out_dir``; returns the manifest frame
+    ``(file, n_records, file_bytes)`` — NOT yet materialized, run an
+    action on it to execute the write. Rows are segment-assigned by
+    url hash and written in url order, so the file set is byte-
+    deterministic for a fixed input regardless of input partitioning.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("url")
+        sid = int(pdf["seg"].iloc[0])
+        name = f"seg-{sid:05d}.warc" + (".gz" if compress else "")
+        first_ts = int(pdf["fetch_ts"].iloc[0])
+        chunks = [build_warcinfo(first_ts)]
+        for r in pdf.itertuples(index=False):
+            chunks.append(
+                build_record(
+                    str(r.url),
+                    int(r.fetch_ts),
+                    str(r.content_type),
+                    bytes(r.payload),
+                )
+            )
+        if compress:
+            data = b"".join(
+                gzip.compress(c, compresslevel=6, mtime=0) for c in chunks
+            )
+        else:
+            data = b"".join(chunks)
+        path = os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic publish, crash-safe
+        return pd.DataFrame(
+            {
+                "file": [name],
+                "n_records": [len(pdf)],
+                "file_bytes": [len(data)],
+            }
+        )
+
+    return (
+        df.withColumn("seg", F.pmod(F.xxhash64("url"), F.lit(n_segments)))
+        .groupBy("seg")
+        .applyInPandas(
+            write_segment, "file string, n_records long, file_bytes long"
+        )
+    )
+
+
+def read_warc(spark: SparkSession, warc_dir: str) -> DataFrame:
+    """Source WARC segments back as
+    ``(url, fetch_ts, content_type, payload, digest_ok)`` — resource
+    records only, block digest re-verified per record."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(warc_dir)
+        .select("content")
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, tss, cts, payloads, oks = [], [], [], [], []
+            for blob in pdf["content"]:
+                for headers, payload in iter_records(bytes(blob)):
+                    if headers.get("warc-type") != "resource":
+                        continue
+                    urls.append(headers.get("warc-target-uri", ""))
+                    date = headers.get("warc-date", "")
+                    try:
+                        ts = int(
+                            datetime.strptime(
+                                date, "%Y-%m-%dT%H:%M:%SZ"
+                            )
+                            .replace(tzinfo=timezone.utc)
+                            .timestamp()
+                        )
+                    except ValueError:
+                        ts = -1
+                    tss.append(ts)
+                    cts.append(headers.get("content-type", ""))
+                    payloads.append(payload)
+                    oks.append(
+                        headers.get("warc-block-digest", "")
+                        == block_digest(payload)
+                    )
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "fetch_ts": tss,
+                    "content_type": cts,
+                    "payload": payloads,
+                    "digest_ok": oks,
+                }
+            )
+
+    return files.mapInPandas(
+        parse,
+        "url string, fetch_ts long, content_type string, "
+        "payload binary, digest_ok boolean",
+    )

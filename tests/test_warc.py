@@ -1,0 +1,130 @@
+"""WARC 1.1 sink/source (sinks/warc.py): format, robustness, round-trip."""
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from gocrawler_spark.sinks.warc import (
+    block_digest,
+    build_record,
+    build_warcinfo,
+    iter_records,
+    read_warc,
+    write_warc,
+)
+
+
+def test_record_is_deterministic_and_well_formed():
+    r1 = build_record("https://x/p", 1767225600, "text/html", b"hello")
+    r2 = build_record("https://x/p", 1767225600, "text/html", b"hello")
+    assert r1 == r2  # uuid5 record id + fixed date -> byte-stable
+    assert r1.startswith(b"WARC/1.1\r\n")
+    assert b"WARC-Type: resource\r\n" in r1
+    assert b"Content-Length: 5\r\n" in r1
+    assert r1.endswith(b"hello\r\n\r\n")
+
+
+def test_iter_records_plain_and_gzip_multimember():
+    recs = [
+        build_warcinfo(1767225600),
+        build_record("https://x/a", 1767225600, "text/html", b"aaa"),
+        build_record("https://x/b", 1767225601, "image/png", b"\x89PNG"),
+    ]
+    plain = b"".join(recs)
+    gz = b"".join(gzip.compress(r, mtime=0) for r in recs)
+    for blob in (plain, gz):
+        out = list(iter_records(blob))
+        assert [h.get("warc-type") for h, _ in out] == [
+            "warcinfo",
+            "resource",
+            "resource",
+        ]
+        assert out[1][1] == b"aaa"
+        assert out[2][1] == b"\x89PNG"
+        assert out[2][0]["warc-target-uri"] == "https://x/b"
+
+
+def test_digest_detects_tamper():
+    r = build_record("https://x/a", 1767225600, "text/html", b"payload!")
+    ((headers, payload),) = list(iter_records(r))
+    assert headers["warc-block-digest"] == block_digest(payload)
+    tampered = r.replace(b"payload!", b"tampered")
+    ((h2, p2),) = list(iter_records(tampered))
+    assert h2["warc-block-digest"] != block_digest(p2)
+
+
+def test_iter_records_survives_garbage_and_truncation():
+    assert list(iter_records(b"")) == []
+    assert list(iter_records(b"\x00\x01 not a warc")) == []
+    assert list(iter_records(b"\x1f\x8b broken gzip header")) == []
+    r = build_record("https://x/a", 1767225600, "text/html", b"full")
+    # truncated second record: first still parses, tail dropped
+    blob = r + r[: len(r) // 2]
+    out = list(iter_records(blob))
+    assert len(out) == 1 and out[0][1] == b"full"
+    # garbage between records stops the scan (no resync guess)
+    assert len(list(iter_records(r + b"JUNK" + r))) == 1
+
+
+def test_spark_roundtrip_byte_equal(spark, tmp_path):
+    rows = [
+        (f"https://l{i % 3}.example/d{i}", 1767225600 + i,
+         "application/octet-stream", bytes([i]) * (i + 1))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, fetch_ts long, content_type string, payload binary"
+    )
+    out = str(tmp_path / "warc")
+    man = write_warc(df, out, n_segments=4).collect()
+    assert sum(m["n_records"] for m in man) == 20
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith(".warc.gz") for f in files)
+    back = read_warc(spark, out)
+    got = {
+        r["url"]: (r["fetch_ts"], r["content_type"], bytes(r["payload"]),
+                   r["digest_ok"])
+        for r in back.collect()
+    }
+    assert len(got) == 20
+    for url, ts, ct, payload in rows:
+        bts, bct, bpayload, ok = got[url]
+        assert (bts, bct, bpayload, ok) == (ts, ct, payload, True)
+
+
+def test_write_is_deterministic_across_partitionings(spark, tmp_path):
+    rows = [
+        (f"https://h/{i}", 1767225600, "text/plain", str(i).encode())
+        for i in range(50)
+    ]
+    schema = "url string, fetch_ts long, content_type string, payload binary"
+    outs = []
+    for n_part, sub in ((1, "a"), (7, "b")):
+        df = spark.createDataFrame(rows, schema).repartition(n_part)
+        out = str(tmp_path / sub)
+        write_warc(df, out, n_segments=3).collect()
+        outs.append(
+            {
+                f: open(os.path.join(out, f), "rb").read()
+                for f in os.listdir(out)
+            }
+        )
+    assert outs[0] == outs[1]  # same bytes regardless of input layout
+
+
+def test_uncompressed_mode(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("https://h/1", 1767225600, "text/plain", b"x")],
+        "url string, fetch_ts long, content_type string, payload binary",
+    )
+    out = str(tmp_path / "plain")
+    write_warc(df, out, n_segments=1, compress=False).collect()
+    (f,) = os.listdir(out)
+    assert f.endswith(".warc")
+    blob = open(os.path.join(out, f), "rb").read()
+    assert blob.startswith(b"WARC/1.1")
+    n = read_warc(spark, out).agg(
+        F.sum(F.when(F.col("digest_ok"), 1)).alias("n")
+    ).first()["n"]
+    assert n == 1
