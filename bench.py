@@ -116,6 +116,7 @@ HEADLINE = [
     "robots_parse_verdicts",
     "sitemap_seed_stats",
     "warc_roundtrip_stats",
+    "crawl_budget_allocation",
 ]
 
 

@@ -1,0 +1,125 @@
+r"""Per-host crawl-budget allocation under the driver's oracle gate.
+
+The scheduler's per-host budget (select_wave's per-host window,
+operators/frontier.py) is a FIXED cap in the reference-parity engine;
+a web-scale crawler allocates it: hosts that the corpus links to more
+deserve more of the wave, but never more than their robots crawl-delay
+permits. This query composes the two real parsed inputs —
+
+- host authority: in-link counts through the REAL S2 HTML parser
+  (functions/html.py, same chain as ``host_inlink_stats``),
+- politeness: ``Crawl-delay`` through the REAL RFC 9309 robots parser
+  (functions/robots.py, same synthetic robots as
+  ``robots_parse_verdicts``: delay = (j+1) s for host ``l{j}.example``)
+
+— into ``wave_budget = min(politeness_cap, authority_alloc)`` where
+``politeness_cap = wave_window_ms ÷ crawl_delay_ms`` (how many polite
+fetches fit a 60 s wave window) and ``authority_alloc`` divides a
+10,000-fetch wave by in-link share (integer division end-to-end — no
+float drift between engines). The oracle states the closed form of
+both parsed inputs and the same arithmetic.
+
+Scale shape: parse+explode is one mapInPandas pass, in-link counts are
+one groupBy(host) with map-side combine (O(hosts) output), the robots
+side is one row per host, the total is a 1-row broadcast — no step
+touches the frontier or scales worse than the edge count.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gocrawler_spark.functions import html as HT
+from gocrawler_spark.functions import robots as RB
+from gocrawler_spark.functions import urls as U
+from gocrawler_spark.queries import load, register
+from gocrawler_spark.queries.html_q import _links_for
+from gocrawler_spark.queries.robots_q import AGENT, synthetic_robots_txt
+from gocrawler_spark.sources.synthetic_web import render_html
+
+WAVE_WINDOW_MS = 60_000
+WAVE_FETCHES = 10_000
+
+
+@register(
+    "crawl_budget_allocation",
+    f"""
+WITH hosts AS (SELECT unnest(range(7)) AS j),
+inl AS (
+  SELECT h.j, CAST(count(*) AS BIGINT) AS n_inlinks
+  FROM hosts h JOIN documents d ON d.doc_id % 7 >= h.j
+  GROUP BY h.j
+),
+tot AS (SELECT sum(n_inlinks) AS total FROM inl)
+SELECT 'l' || CAST(j AS VARCHAR) || '.example' AS host,
+       n_inlinks,
+       CAST((j + 1) * 1000 AS BIGINT) AS crawl_delay_ms,
+       CAST({WAVE_WINDOW_MS} // ((j + 1) * 1000) AS BIGINT)
+         AS politeness_cap,
+       CAST((n_inlinks * {WAVE_FETCHES}) // total AS BIGINT)
+         AS authority_alloc,
+       CAST(least({WAVE_WINDOW_MS} // ((j + 1) * 1000),
+                  (n_inlinks * {WAVE_FETCHES}) // total) AS BIGINT)
+         AS wave_budget
+FROM inl, tot ORDER BY host
+""",
+)
+def crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def edges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls = []
+            for r in pdf.itertuples(index=False):
+                doc_id = int(r.doc_id)
+                markup = render_html(
+                    r.text, _links_for(doc_id), title=f"doc {doc_id}"
+                )
+                _, got_links = HT.parse_page(markup)
+                urls.extend(got_links)
+            yield pd.DataFrame({"url": urls})
+
+    inlinks = (
+        docs.mapInPandas(edges, "url string")
+        .groupBy(U.host_of(F.col("url")).alias("host"))
+        .agg(F.count(F.lit(1)).alias("n_inlinks"))
+    )
+
+    def delays(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, ms = [], []
+            for host in pdf["host"]:
+                j = int(str(host).split(".")[0][1:])
+                rules = RB.parse_robots(synthetic_robots_txt(j), AGENT)
+                hosts.append(str(host))
+                ms.append(rules.crawl_delay_ms)
+            yield pd.DataFrame({"host": hosts, "crawl_delay_ms": ms})
+
+    robots = inlinks.select("host").mapInPandas(
+        delays, "host string, crawl_delay_ms long"
+    )
+    total = inlinks.agg(F.sum("n_inlinks").alias("total"))
+    return (
+        inlinks.join(F.broadcast(robots), "host")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "host",
+            "n_inlinks",
+            "crawl_delay_ms",
+            F.expr(f"div({WAVE_WINDOW_MS}, crawl_delay_ms)").alias(
+                "politeness_cap"
+            ),
+            F.expr(f"div(n_inlinks * {WAVE_FETCHES}, total)").alias(
+                "authority_alloc"
+            ),
+            F.least(
+                F.expr(f"div({WAVE_WINDOW_MS}, crawl_delay_ms)"),
+                F.expr(f"div(n_inlinks * {WAVE_FETCHES}, total)"),
+            ).alias("wave_budget"),
+        )
+        .orderBy("host")
+    )
