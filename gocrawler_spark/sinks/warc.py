@@ -197,16 +197,12 @@ def write_warc(
     )
 
 
-def read_warc(spark: SparkSession, warc_dir: str) -> DataFrame:
-    """Source WARC segments back as
+def parse_segments(files: DataFrame) -> DataFrame:
+    """Parse a ``binaryFile``-shaped frame (a ``content`` binary
+    column; batch OR streaming) into
     ``(url, fetch_ts, content_type, payload, digest_ok)`` — resource
     records only, block digest re-verified per record."""
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc*")
-        .load(warc_dir)
-        .select("content")
-    )
+    files = files.select("content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -248,4 +244,14 @@ def read_warc(spark: SparkSession, warc_dir: str) -> DataFrame:
         parse,
         "url string, fetch_ts long, content_type string, "
         "payload binary, digest_ok boolean",
+    )
+
+
+def read_warc(spark: SparkSession, warc_dir: str) -> DataFrame:
+    """Batch-source WARC segments back through ``binaryFile`` +
+    ``parse_segments``."""
+    return parse_segments(
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(warc_dir)
     )
