@@ -128,3 +128,43 @@ def test_uncompressed_mode(spark, tmp_path):
         F.sum(F.when(F.col("digest_ok"), 1)).alias("n")
     ).first()["n"]
     assert n == 1
+
+
+def test_image_payloads_roundtrip_decode(spark, tmp_path):
+    """The graft axis end-to-end: PNG image payloads sunk to WARC and
+    sourced back must decode to the EXACT original pixels (the
+    north_rule's per-row invariant — lossless codec, so byte/pixel
+    equality, not just PSNR)."""
+    import numpy as np
+
+    from gocrawler_spark.sources.synthetic_images import (
+        decode_png,
+        encode_png,
+        render_pixels,
+    )
+
+    rows = []
+    pixels = {}
+    for i in range(6):
+        iid = f"img-{i}"
+        px = render_pixels(iid, 24 + i, 16 + i)
+        pixels[iid] = px
+        rows.append(
+            (f"https://img.example/{iid}.png", 1767225600 + i,
+             "image/png", encode_png(px))
+        )
+    df = spark.createDataFrame(
+        rows, "url string, fetch_ts long, content_type string, payload binary"
+    )
+    out = str(tmp_path / "imgwarc")
+    write_warc(df, out, n_segments=2).collect()
+    back = read_warc(spark, out).filter(
+        F.col("content_type") == "image/png"
+    )
+    got = {r["url"]: bytes(r["payload"]) for r in back.collect()}
+    assert len(got) == 6
+    for i in range(6):
+        iid = f"img-{i}"
+        px = decode_png(got[f"https://img.example/{iid}.png"])
+        assert px.shape == pixels[iid].shape
+        assert np.array_equal(px, pixels[iid])
