@@ -117,6 +117,7 @@ HEADLINE = [
     "sitemap_seed_stats",
     "warc_roundtrip_stats",
     "crawl_budget_allocation",
+    "warc_cdx_lookup_stats",
 ]
 
 

@@ -42,19 +42,7 @@ FROM documents
 """,
 )
 def warc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select(
-        F.concat(
-            F.lit("https://l"),
-            (F.col("doc_id") % 7).cast("string"),
-            F.lit(".example/d"),
-            F.col("doc_id").cast("string"),
-        ).alias("url"),
-        (F.lit(_EPOCH_20260101) + F.col("doc_id") % 86400)
-        .cast("long")
-        .alias("fetch_ts"),
-        F.lit("text/html").alias("content_type"),
-        F.encode("text", "UTF-8").alias("payload"),
-    )
+    docs = _docs_as_payloads(spark, sf_dir)
     out_dir = tempfile.mkdtemp(prefix="warc_q_")
     # materialize the sink (manifest is O(segments) — a legitimate
     # driver action, no payload rows move)
@@ -77,3 +65,76 @@ def warc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hosts",
         "max_fetch_ts",
     )
+
+
+def _docs_as_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://l"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/d"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.lit(_EPOCH_20260101) + F.col("doc_id") % 86400)
+        .cast("long")
+        .alias("fetch_ts"),
+        F.lit("text/html").alias("content_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+@register(
+    "warc_cdx_lookup_stats",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(count(*) AS BIGINT) AS n_fetched_ok,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_payload_bytes
+FROM documents WHERE doc_id % 29 = 0
+""",
+)
+def warc_cdx_lookup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-level random access through the CDX-style index: sink
+    the documents as WARC segments, read the index back, sample every
+    29th doc, seek+read EACH sampled record by its (file, offset,
+    length) span, and re-verify its block digest. A correct index +
+    writer must fetch every sampled payload intact — the oracle states
+    the sample's closed form.
+
+    Scale shape: the index scan prunes to the sample BEFORE any IO
+    (predicate on the index parquet), then one mapInPandas pass does
+    O(sample) random reads — never a segment scan; this is the
+    serve-one-page path at 100 TB.
+    """
+    from gocrawler_spark.sinks.warc import block_digest
+
+    out_dir = tempfile.mkdtemp(prefix="warc_cdx_q_")
+    W.write_warc(_docs_as_payloads(spark, sf_dir), out_dir).collect()
+    idx = W.read_cdx(spark, out_dir)
+    sample = idx.filter(
+        F.regexp_extract("url", r"/d(\d+)$", 1).cast("long") % 29 == 0
+    )
+
+    def probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            oks, lens = [], []
+            for r in pdf.itertuples(index=False):
+                headers, payload = W.fetch_record(
+                    out_dir, str(r.file), int(r.offset), int(r.rlen)
+                )
+                good = (
+                    headers.get("warc-target-uri") == str(r.url)
+                    and headers.get("warc-block-digest")
+                    == block_digest(payload)
+                )
+                oks.append(int(good))
+                lens.append(len(payload))
+            yield pd.DataFrame({"ok": oks, "plen": lens})
+
+    probed = sample.mapInPandas(probe, "ok long, plen long")
+    return probed.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("ok").alias("n_fetched_ok"),
+        F.sum("plen").alias("sum_payload_bytes"),
+    ).select("n_sampled", "n_fetched_ok", "sum_payload_bytes")

@@ -160,6 +160,7 @@ def write_warc(
         name = f"seg-{sid:05d}.warc" + (".gz" if compress else "")
         first_ts = int(pdf["fetch_ts"].iloc[0])
         chunks = [build_warcinfo(first_ts)]
+        urls, tss = [], []
         for r in pdf.itertuples(index=False):
             chunks.append(
                 build_record(
@@ -169,17 +170,39 @@ def write_warc(
                     bytes(r.payload),
                 )
             )
+            urls.append(str(r.url))
+            tss.append(int(r.fetch_ts))
         if compress:
-            data = b"".join(
+            chunks = [
                 gzip.compress(c, compresslevel=6, mtime=0) for c in chunks
-            )
-        else:
-            data = b"".join(chunks)
+            ]
+        data = b"".join(chunks)
+        # CDX-style record index: (offset, length) of each resource
+        # record's file span — the gzip member for .warc.gz (member
+        # boundaries ARE record boundaries, so a seek+read of the span
+        # decompresses standalone), the raw record span otherwise.
+        offsets, lengths, off = [], [], len(chunks[0])  # skip warcinfo
+        for c in chunks[1:]:
+            offsets.append(off)
+            lengths.append(len(c))
+            off += len(c)
         path = os.path.join(out_dir, name)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, path)  # atomic publish, crash-safe
+        idx = pd.DataFrame(
+            {
+                "url": urls,
+                "fetch_ts": tss,
+                "file": name,
+                "offset": offsets,
+                "rlen": lengths,
+            }
+        )
+        idx_path = os.path.join(out_dir, f"seg-{sid:05d}.cdx.parquet")
+        idx.to_parquet(idx_path + ".tmp", index=False)
+        os.replace(idx_path + ".tmp", idx_path)
         return pd.DataFrame(
             {
                 "file": [name],
@@ -255,3 +278,31 @@ def read_warc(spark: SparkSession, warc_dir: str) -> DataFrame:
         .option("pathGlobFilter", "*.warc*")
         .load(warc_dir)
     )
+
+
+def read_cdx(spark: SparkSession, warc_dir: str) -> DataFrame:
+    """The record index written alongside the segments:
+    ``(url, fetch_ts, file, offset, rlen)`` — one row per record. At
+    100 TB this is the lookup table for record-level random access
+    (re-parse one page, serve one payload) without scanning segments;
+    it joins/broadcasts like any small dimension."""
+    return spark.read.parquet(os.path.join(warc_dir, "*.cdx.parquet"))
+
+
+def fetch_record(
+    warc_dir: str, file: str, offset: int, rlen: int
+) -> tuple[dict[str, str], bytes]:
+    """Random-access one record by its index span: seek+read ``rlen``
+    bytes at ``offset`` (a standalone gzip member for ``.warc.gz``),
+    parse, return ``(headers, payload)``. Raises ValueError if the
+    span does not contain exactly one record — an index/segment
+    mismatch should be loud, not an empty result."""
+    with open(os.path.join(warc_dir, file), "rb") as f:
+        f.seek(offset)
+        span = f.read(rlen)
+    recs = list(iter_records(span))
+    if len(recs) != 1:
+        raise ValueError(
+            f"index span {file}@{offset}+{rlen} held {len(recs)} records"
+        )
+    return recs[0]

@@ -79,8 +79,8 @@ def test_spark_roundtrip_byte_equal(spark, tmp_path):
     out = str(tmp_path / "warc")
     man = write_warc(df, out, n_segments=4).collect()
     assert sum(m["n_records"] for m in man) == 20
-    files = sorted(os.listdir(out))
-    assert files and all(f.endswith(".warc.gz") for f in files)
+    segs = [f for f in sorted(os.listdir(out)) if ".warc" in f]
+    assert segs and all(f.endswith(".warc.gz") for f in segs)
     back = read_warc(spark, out)
     got = {
         r["url"]: (r["fetch_ts"], r["content_type"], bytes(r["payload"]),
@@ -120,7 +120,7 @@ def test_uncompressed_mode(spark, tmp_path):
     )
     out = str(tmp_path / "plain")
     write_warc(df, out, n_segments=1, compress=False).collect()
-    (f,) = os.listdir(out)
+    (f,) = [x for x in os.listdir(out) if ".warc" in x]
     assert f.endswith(".warc")
     blob = open(os.path.join(out, f), "rb").read()
     assert blob.startswith(b"WARC/1.1")
@@ -168,3 +168,36 @@ def test_image_payloads_roundtrip_decode(spark, tmp_path):
         px = decode_png(got[f"https://img.example/{iid}.png"])
         assert px.shape == pixels[iid].shape
         assert np.array_equal(px, pixels[iid])
+
+
+def test_cdx_random_access(spark, tmp_path):
+    from gocrawler_spark.sinks.warc import fetch_record, read_cdx
+
+    rows = [
+        (f"https://h.example/p{i}", 1767225600 + i, "text/plain",
+         f"payload-{i}".encode())
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, fetch_ts long, content_type string, payload binary"
+    )
+    for compress, sub in ((True, "gz"), (False, "plain")):
+        out = str(tmp_path / sub)
+        write_warc(df, out, n_segments=3, compress=compress).collect()
+        idx = {r["url"]: r for r in read_cdx(spark, out).collect()}
+        assert len(idx) == 15
+        for url, ts, _, payload in rows:
+            e = idx[url]
+            headers, got = fetch_record(
+                out, e["file"], e["offset"], e["rlen"]
+            )
+            assert got == payload
+            assert headers["warc-target-uri"] == url
+            assert e["fetch_ts"] == ts
+        # a wrong span is loud, not empty
+        e = idx[rows[0][0]]
+        try:
+            fetch_record(out, e["file"], e["offset"] + 1, e["rlen"])
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
