@@ -118,6 +118,7 @@ HEADLINE = [
     "warc_roundtrip_stats",
     "crawl_budget_allocation",
     "warc_cdx_lookup_stats",
+    "anchor_text_stats",
 ]
 
 

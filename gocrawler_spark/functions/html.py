@@ -62,6 +62,33 @@ def extract_links(html: str) -> list[str]:
     return out
 
 
+_A_FULL = re.compile(
+    r"""(?is)<a\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))"""
+    r"""[^>]*>(.*?)</a\s*>"""
+)
+
+
+def extract_anchors(html: str) -> list[tuple[str, str]]:
+    """All ``(href, anchor_text)`` pairs, document order. The anchor
+    text is the element's inner markup tag-stripped, entity-decoded,
+    whitespace-collapsed — the search-signal view of the link (what
+    the linking page *calls* the target). Anchors without an href
+    don't navigate and are skipped, like extract_links."""
+    out = []
+    for m in _A_FULL.finditer(html):
+        href = m.group(1)
+        if href is None:
+            href = m.group(2)
+        if href is None:
+            href = m.group(3)
+        # anchor text is a single phrase: ALL whitespace (incl.
+        # newlines, unlike the line-preserving _WS) collapses to one
+        # space
+        text = re.sub(r"\s+", " ", unescape(_TAG.sub(" ", m.group(4)))).strip()
+        out.append((unescape(href), text))
+    return out
+
+
 def html_to_text(html: str) -> str:
     """Plain text per the documented html2text subset (crawler.go:235)."""
     s = _COMMENT.sub(" ", html)

@@ -91,6 +91,7 @@ from gocrawler_spark.queries import funnel_q  # noqa: E402,F401
 from gocrawler_spark.queries import html_q  # noqa: E402,F401
 from gocrawler_spark.queries import image_pipeline_q  # noqa: E402,F401
 from gocrawler_spark.queries import image_q  # noqa: E402,F401
+from gocrawler_spark.queries import anchor_q  # noqa: E402,F401
 from gocrawler_spark.queries import budget_q  # noqa: E402,F401
 from gocrawler_spark.queries import media_q  # noqa: E402,F401
 from gocrawler_spark.queries import ngram_q  # noqa: E402,F401

@@ -161,11 +161,24 @@ def seed_urls() -> list[str]:
 # contribute no text; head/script content must be dropped by the parser.)
 
 
-def render_html(text: str, links: list[str], title: str = "page") -> str:
+def render_html(
+    text: str,
+    links: list[str],
+    title: str = "page",
+    anchor_texts: list[str] | None = None,
+) -> str:
     from html import escape
 
     paras = "\n".join(f"<p>{escape(p)}</p>" for p in text.split("\n"))
-    anchors = "".join(f'<a href="{escape(l, quote=True)}"></a>' for l in links)
+    inner = (
+        [""] * len(links)
+        if anchor_texts is None
+        else [escape(t) for t in anchor_texts]
+    )
+    anchors = "".join(
+        f'<a href="{escape(l, quote=True)}">{t}</a>'
+        for l, t in zip(links, inner)
+    )
     return (
         "<!DOCTYPE html><html><head>"
         f"<title>{escape(title)}</title>"

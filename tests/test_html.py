@@ -93,3 +93,44 @@ def test_html_crawl_path_equals_preparsed_path(spark):
         }
 
     assert snap(html) == snap(base)
+
+
+def test_extract_anchors_pairs_and_text_cleanup():
+    from gocrawler_spark.functions.html import extract_anchors
+
+    html = (
+        '<a href="https://x/a">Click <b>here</b> now</a>'
+        "<a href='https://x/b'>caf&eacute; &amp; bar</a>"
+        '<a href=https://x/c></a>'
+        "<a name=anchor-no-href>skipped</a>"
+        '<a href="https://x/d">\n  multi\n  line  </a>'
+    )
+    got = extract_anchors(html)
+    assert got == [
+        ("https://x/a", "Click here now"),
+        ("https://x/b", "café & bar"),
+        ("https://x/c", ""),
+        ("https://x/d", "multi line"),
+    ]
+
+
+def test_extract_anchors_agrees_with_extract_links():
+    from gocrawler_spark.functions.html import extract_anchors, extract_links
+    from gocrawler_spark.sources.synthetic_web import render_html
+
+    links = [f"https://l{j}.example/d9/p{j}" for j in range(3)]
+    markup = render_html(
+        "some text", links, anchor_texts=[f"t {j}" for j in range(3)]
+    )
+    assert [h for h, _ in extract_anchors(markup)] == extract_links(markup)
+    assert [t for _, t in extract_anchors(markup)] == ["t 0", "t 1", "t 2"]
+
+
+def test_render_html_default_is_unchanged_by_anchor_param():
+    from gocrawler_spark.sources.synthetic_web import render_html
+
+    links = ["https://x/a", "https://x/b"]
+    assert render_html("t", links) == render_html(
+        "t", links, anchor_texts=None
+    )
+    assert '<a href="https://x/a"></a>' in render_html("t", links)
