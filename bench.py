@@ -119,6 +119,7 @@ HEADLINE = [
     "crawl_budget_allocation",
     "warc_cdx_lookup_stats",
     "anchor_text_stats",
+    "image_caption_provenance",
 ]
 
 

@@ -96,6 +96,7 @@ from gocrawler_spark.queries import budget_q  # noqa: E402,F401
 from gocrawler_spark.queries import media_q  # noqa: E402,F401
 from gocrawler_spark.queries import ngram_q  # noqa: E402,F401
 from gocrawler_spark.queries import pipeline_q  # noqa: E402,F401
+from gocrawler_spark.queries import provenance_q  # noqa: E402,F401
 from gocrawler_spark.queries import rel_q  # noqa: E402,F401
 from gocrawler_spark.queries import robots_q  # noqa: E402,F401
 from gocrawler_spark.queries import search_q  # noqa: E402,F401

@@ -148,6 +148,59 @@ def decode_png(data: bytes) -> np.ndarray:
     return raw[:, 1:].reshape(h, w, 3).copy()
 
 
+_IHDR_END = 8 + 12 + 13  # signature + IHDR chunk (fixed 13-byte body)
+
+
+def png_with_text(px: np.ndarray, pairs: dict[str, str]) -> bytes:
+    """PNG with caption/provenance metadata carried IN the payload:
+    one ``iTXt`` chunk per (keyword, value) pair spliced between IHDR
+    and IDAT (iTXt because its text field is UTF-8 — captions aren't
+    latin-1; flags: uncompressed, no language tag / translation).
+    decode_png skips unknown chunks, so pixels round-trip unchanged."""
+    base = encode_png(px)
+    chunks = b"".join(
+        _chunk(
+            b"iTXt",
+            k.encode("latin-1") + b"\x00\x00\x00\x00\x00"
+            + v.encode("utf-8"),
+        )
+        for k, v in pairs.items()
+    )
+    return base[:_IHDR_END] + chunks + base[_IHDR_END:]
+
+
+def read_png_text(data: bytes) -> dict[str, str]:
+    """Parse ``tEXt`` (latin-1) and ``iTXt`` (UTF-8) chunks back to a
+    dict. CRC-verified: a corrupted text chunk is DROPPED (metadata
+    must never be trusted past its checksum), other chunks ignored."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    out: dict[str, str] = {}
+    pos = 8
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        crc_ok = (
+            pos + 12 + ln <= len(data)
+            and struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])[0]
+            == (zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+        if tag == b"IEND":
+            break
+        if crc_ok and tag == b"tEXt":
+            k, _, v = body.partition(b"\x00")
+            out[k.decode("latin-1")] = v.decode("latin-1")
+        elif crc_ok and tag == b"iTXt":
+            k, _, rest = body.partition(b"\x00")
+            rest = rest[2:]  # compression flag + method
+            _lang, _, rest = rest.partition(b"\x00")
+            _trans, _, txt = rest.partition(b"\x00")
+            out[k.decode("latin-1")] = txt.decode("utf-8", "replace")
+        pos += 12 + ln
+    return out
+
+
 # ---------------------------------------------------------------------------
 # lossy stand-in + stubbed real JPEG
 # ---------------------------------------------------------------------------

@@ -170,3 +170,37 @@ def test_phash_fixture_matches_renderer():
     from gocrawler_spark.fixtures import image_phash as PF
 
     assert PF.PHASH == PF.regenerate()
+
+
+def test_png_text_chunks_roundtrip_and_crc():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from gocrawler_spark.sources.synthetic_images import (
+        decode_png,
+        png_with_text,
+        read_png_text,
+        render_pixels,
+    )
+
+    px = render_pixels("prov", 20, 14)
+    pairs = {"Title": "café — ünïcode ✓ caption", "Source": "https://x/d1"}
+    data = png_with_text(px, pairs)
+    # chunks parse back exactly (iTXt carries UTF-8)
+    assert read_png_text(data) == pairs
+    # pixels decode unchanged past the spliced chunks
+    assert np.array_equal(decode_png(data), px)
+    # a corrupted text chunk is dropped, not trusted (CRC gate)
+    i = data.index(b"iTXt")
+    broken = data[: i + 10] + bytes([data[i + 10] ^ 0xFF]) + data[i + 11:]
+    parsed = read_png_text(broken)
+    assert "Title" not in parsed  # first chunk corrupted -> dropped
+    assert parsed.get("Source") == "https://x/d1"
+    # latin-1 tEXt chunks are read too
+    from gocrawler_spark.sources.synthetic_images import _chunk, _IHDR_END
+
+    t = _chunk(b"tEXt", b"Author\x00legacy latin-1")
+    legacy = data[:_IHDR_END] + t + data[_IHDR_END:]
+    assert read_png_text(legacy)["Author"] == "legacy latin-1"
