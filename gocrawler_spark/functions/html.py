@@ -73,7 +73,13 @@ def extract_anchors(html: str) -> list[tuple[str, str]]:
     text is the element's inner markup tag-stripped, entity-decoded,
     whitespace-collapsed — the search-signal view of the link (what
     the linking page *calls* the target). Anchors without an href
-    don't navigate and are skipped, like extract_links."""
+    don't navigate and are skipped, like extract_links.
+
+    Known divergence from extract_links on MALFORMED markup: this
+    needs the closing ``</a>``, so an unclosed trailing anchor or a
+    nested ``<a>`` (both invalid HTML) yields fewer pairs than
+    extract_links yields hrefs. The link graph's authority therefore
+    stays extract_links; anchor text is best-effort by design."""
     out = []
     for m in _A_FULL.finditer(html):
         href = m.group(1)

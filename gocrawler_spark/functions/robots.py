@@ -82,12 +82,17 @@ def parse_robots(text: str, agent: str) -> RobotsRules:
                 in_agent_run = True
             cur_agents.append(val.lower())
             continue
-        in_agent_run = False
         if key == "sitemap":
             # non-group directive: valid anywhere, even before any group
             if val:
                 sitemap_urls.append(val)
             continue
+        if key not in ("allow", "disallow", "crawl-delay"):
+            # RFC 9309 §2.2.4: records outside the grammar MUST NOT
+            # interfere — in particular an unknown line between two
+            # User-agent lines must not split their group
+            continue
+        in_agent_run = False
         if not groups:
             continue  # rules before any User-agent line: ignored
         _, rules, delays = groups[-1]
@@ -96,7 +101,7 @@ def parse_robots(text: str, agent: str) -> RobotsRules:
                 continue  # empty Disallow = allow all (no rule)
             if val:
                 rules.append((val, key == "allow"))
-        elif key == "crawl-delay":
+        else:  # crawl-delay
             try:
                 delays.append(float(val))
             except ValueError:
@@ -156,5 +161,9 @@ def disallow_prefixes_conservative(rules: RobotsRules) -> list[str]:
     for pattern, allow in rules.rules:
         if allow:
             continue
-        out.append(pattern.split("*", 1)[0].rstrip("$"))
-    return [p for p in out if p]
+        prefix = pattern.split("*", 1)[0].rstrip("$")
+        # a leading-'*' pattern truncates to '' — conservative is
+        # "could match anything on this host", i.e. the '/' prefix,
+        # NOT dropping the rule (that would under-block)
+        out.append(prefix or "/")
+    return out

@@ -167,11 +167,11 @@ def _salvage(text: str) -> SitemapParse:
     if iu < 0 and ii < 0:
         return SitemapParse(kind="invalid")
     kind = "urlset" if (ii < 0 or (0 <= iu < ii)) else "index"
-    locs = _LOC_RX.findall(text)[:MAX_ENTRIES]
+    locs = _LOC_RX.findall(text)
     return SitemapParse(
         kind=kind,
-        entries=tuple(SitemapEntry(loc=loc) for loc in locs),
-        truncated=len(_LOC_RX.findall(text)) > MAX_ENTRIES,
+        entries=tuple(SitemapEntry(loc=loc) for loc in locs[:MAX_ENTRIES]),
+        truncated=len(locs) > MAX_ENTRIES,
     )
 
 

@@ -56,8 +56,9 @@ def discover_from_hosts(
     ``Sitemap:`` URLs (falling back to the conventional
     ``/sitemap.xml``); BFS index files into urlsets, visiting at most
     ``max_sitemaps`` sitemap documents (hostile index loops and
-    mega-trees are bounded; the cut is logged per host in the
-    ``n_truncated`` column of the last row — no silent cap).
+    mega-trees are bounded; the number of sitemap docs cut is carried
+    on EVERY emitted row of the host in ``n_truncated`` — no silent
+    cap for any host that yields rows).
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -73,6 +74,7 @@ def discover_from_hosts(
                 seen: set[str] = set()
                 visited = 0
                 truncated = 0
+                host_rows: list[tuple] = []
                 while queue:
                     sm_url = queue.pop(0)
                     if sm_url in seen:
@@ -90,7 +92,7 @@ def discover_from_hosts(
                         queue.extend(e.loc for e in parsed.entries)
                     elif parsed.kind == "urlset":
                         for e in parsed.entries:
-                            rows.append(
+                            host_rows.append(
                                 (
                                     e.loc,
                                     domain,
@@ -100,9 +102,12 @@ def discover_from_hosts(
                                         SM.changefreq_lambda(e.changefreq)
                                         * 1e6
                                     ),
-                                    truncated,
                                 )
                             )
+                # the FINAL truncation count rides on every emitted
+                # row (it is only known once the BFS ends; stamping
+                # rows mid-walk would always read 0)
+                rows.extend(r + (truncated,) for r in host_rows)
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -153,7 +158,10 @@ def sitemap_candidates(
         )
     )
     firsts = ok.groupBy("url").agg(
-        F.first("domain").alias("domain"),
+        # min, not first: two hosts' sitemaps can declare the same URL
+        # (www/apex mirrors) and first() is partition-order-dependent —
+        # the synthetic parent (hash of domain) must be deterministic
+        F.min("domain").alias("domain"),
         F.max("priority_milli").alias("priority_milli"),
         F.max("lastmod_ts").alias("lastmod_ts"),
     )

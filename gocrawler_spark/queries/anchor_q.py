@@ -76,23 +76,25 @@ def anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"url": hrefs, "anchor_text": texts})
 
     anchors = docs.mapInPandas(gen, "url string, anchor_text string")
-    with_host = anchors.select(
-        U.host_of(F.col("url")).alias("host"), "anchor_text"
-    )
-    per_host = with_host.groupBy("host").agg(
-        F.count(F.lit(1)).alias("n_anchors"),
-        F.sum(F.length("anchor_text")).alias("sum_anchor_chars"),
-    )
-    tokens = (
-        with_host.select(
-            "host",
-            F.explode(F.split("anchor_text", " ")).alias("token"),
-        )
-        .groupBy("host")
-        .agg(F.countDistinct("token").alias("n_distinct_tokens"))
+    # single pass over a single parse lineage: posexplode the tokens
+    # and count the per-anchor facts on pos==0 rows only (two separate
+    # aggregations would each re-run the full render+extract stage)
+    ex = anchors.select(
+        U.host_of(F.col("url")).alias("host"),
+        F.length("anchor_text").alias("chars"),
+        F.posexplode(F.split("anchor_text", " ")).alias("pos", "token"),
     )
     return (
-        per_host.join(tokens, "host")
+        ex.groupBy("host")
+        .agg(
+            F.sum(F.when(F.col("pos") == 0, 1).otherwise(0)).alias(
+                "n_anchors"
+            ),
+            F.sum(
+                F.when(F.col("pos") == 0, F.col("chars")).otherwise(0)
+            ).alias("sum_anchor_chars"),
+            F.countDistinct("token").alias("n_distinct_tokens"),
+        )
         .select(
             "host", "n_anchors", "sum_anchor_chars", "n_distinct_tokens"
         )

@@ -19,10 +19,12 @@ fetches fit a 60 s wave window) and ``authority_alloc`` divides a
 float drift between engines). The oracle states the closed form of
 both parsed inputs and the same arithmetic.
 
-Scale shape: parse+explode is one mapInPandas pass, in-link counts are
-one groupBy(host) with map-side combine (O(hosts) output), the robots
-side is one row per host, the total is a 1-row broadcast — no step
-touches the frontier or scales worse than the edge count.
+Scale shape: parse+explode is ONE mapInPandas pass feeding one
+groupBy(host) with map-side combine; its O(hosts) aggregate is
+collected and the budget arithmetic runs over that tiny dimension
+(collecting it once beats re-running the full-corpus parse for each
+of the three frames that need it) — no step touches the frontier or
+scales worse than the edge count.
 """
 
 from __future__ import annotations
@@ -83,30 +85,32 @@ def crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 urls.extend(got_links)
             yield pd.DataFrame({"url": urls})
 
-    inlinks = (
+    # ONE parse pass: the aggregate is O(hosts) rows, so collect it and
+    # rebuild the tiny dimension locally — feeding robots, the total,
+    # and the join from the live lineage would re-run the full-corpus
+    # HTML parse three times (one per action/branch)
+    inlink_rows = (
         docs.mapInPandas(edges, "url string")
         .groupBy(U.host_of(F.col("url")).alias("host"))
         .agg(F.count(F.lit(1)).alias("n_inlinks"))
+        .collect()
     )
-
-    def delays(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            hosts, ms = [], []
-            for host in pdf["host"]:
-                j = int(str(host).split(".")[0][1:])
-                rules = RB.parse_robots(synthetic_robots_txt(j), AGENT)
-                hosts.append(str(host))
-                ms.append(rules.crawl_delay_ms)
-            yield pd.DataFrame({"host": hosts, "crawl_delay_ms": ms})
-
-    robots = inlinks.select("host").mapInPandas(
-        delays, "host string, crawl_delay_ms long"
+    total_inlinks = sum(r["n_inlinks"] for r in inlink_rows)
+    robots_ms = {
+        r["host"]: RB.parse_robots(
+            synthetic_robots_txt(int(r["host"].split(".")[0][1:])), AGENT
+        ).crawl_delay_ms
+        for r in inlink_rows
+    }
+    dim = spark.createDataFrame(
+        [
+            (r["host"], r["n_inlinks"], robots_ms[r["host"]], total_inlinks)
+            for r in inlink_rows
+        ],
+        "host string, n_inlinks long, crawl_delay_ms long, total long",
     )
-    total = inlinks.agg(F.sum("n_inlinks").alias("total"))
     return (
-        inlinks.join(F.broadcast(robots), "host")
-        .crossJoin(F.broadcast(total))
-        .select(
+        dim.select(
             "host",
             "n_inlinks",
             "crawl_delay_ms",

@@ -18,6 +18,8 @@ single partial-agg reduce. Payload bytes cross exactly two stages
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +29,19 @@ from gocrawler_spark.queries import load, register
 from gocrawler_spark.sinks import warc as W
 
 _EPOCH_20260101 = 1767225600
+
+
+def _fresh_scratch(name: str) -> str:
+    """A per-query scratch dir that does NOT leak across runs: the
+    previous run's dir (fixed path per query name) is removed before
+    the new one is created. The returned frame reads these files
+    lazily, so in-run cleanup is impossible — cleanup-at-next-start is
+    the invariant instead (queries run serially in the driver/bench).
+    """
+    d = os.path.join(tempfile.gettempdir(), f"gocrawler_spark_{name}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
 
 
 @register(
@@ -43,7 +58,7 @@ FROM documents
 )
 def warc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_as_payloads(spark, sf_dir)
-    out_dir = tempfile.mkdtemp(prefix="warc_q_")
+    out_dir = _fresh_scratch("warc_q")
     # materialize the sink (manifest is O(segments) — a legitimate
     # driver action, no payload rows move)
     W.write_warc(docs, out_dir, n_segments=8).collect()
@@ -107,7 +122,7 @@ def warc_cdx_lookup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from gocrawler_spark.sinks.warc import block_digest
 
-    out_dir = tempfile.mkdtemp(prefix="warc_cdx_q_")
+    out_dir = _fresh_scratch("warc_cdx_q")
     W.write_warc(_docs_as_payloads(spark, sf_dir), out_dir).collect()
     idx = W.read_cdx(spark, out_dir)
     sample = idx.filter(

@@ -157,3 +157,29 @@ def test_text_parser_feeds_politeness_cache(spark):
         "https://a.example/pub/1": True,
         "https://b.example/priv/1": True,  # no group matches gocrawler
     }
+
+
+def test_unknown_or_sitemap_lines_do_not_split_agent_runs():
+    """RFC 9309 §2.2.4: records outside the group grammar must not
+    interfere — a Sitemap: or unknown line between consecutive
+    User-agent lines keeps them in ONE group."""
+    txt = (
+        "User-agent: a\n"
+        "Sitemap: https://x/s.xml\n"
+        "User-agent: b\n"
+        "Host: example.org\n"  # unknown directive
+        "User-agent: c\n"
+        "Disallow: /p\n"
+    )
+    for agent in ("a", "b", "c"):
+        r = parse_robots(txt, agent)
+        assert r.rules == (("/p", False),), agent
+        assert not is_allowed(r, "/p/x")
+    assert parse_robots(txt, "a").sitemaps == ("https://x/s.xml",)
+
+
+def test_conservative_adapter_never_under_blocks_leading_star():
+    txt = "User-agent: *\nDisallow: *.pdf$\nDisallow: /ok*\n"
+    r = parse_robots(txt, "me")
+    # leading-'*' pattern maps to '/', never silently dropped
+    assert disallow_prefixes_conservative(r) == ["/", "/ok"]

@@ -152,3 +152,29 @@ def test_merge_into_frontier_ingests_seeds(spark):
     assert [r["url"].rsplit("/", 1)[1] for r in a_new] == ["mid", "low"]
     # frontier uniqueness held
     assert merged.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_truncation_count_rides_on_emitted_rows(spark):
+    web = {
+        "https://t.example/robots.txt": "Sitemap: https://t.example/i.xml\n",
+        "https://t.example/i.xml": (
+            "<sitemapindex>"
+            + "".join(
+                f"<sitemap><loc>https://t.example/s{k}.xml</loc></sitemap>"
+                for k in range(6)
+            )
+            + "</sitemapindex>"
+        ),
+    }
+    for k in range(6):
+        web[f"https://t.example/s{k}.xml"] = (
+            f"<urlset><url><loc>https://t.example/topic/{k}</loc>"
+            "</url></urlset>"
+        )
+    hosts = spark.createDataFrame([("t.example",)], "domain string")
+    # cap 3: index + 2 urlsets visited, 4 urlsets cut
+    got = discover_from_hosts(
+        hosts, lambda u: web.get(u), AGENT, max_sitemaps=3
+    ).collect()
+    assert len(got) == 2
+    assert all(r["n_truncated"] == 4 for r in got)
