@@ -120,6 +120,7 @@ HEADLINE = [
     "warc_cdx_lookup_stats",
     "anchor_text_stats",
     "image_caption_provenance",
+    "streaming_corpus_top100",
 ]
 
 

@@ -103,5 +103,6 @@ from gocrawler_spark.queries import search_q  # noqa: E402,F401
 from gocrawler_spark.queries import semdedup_q  # noqa: E402,F401
 from gocrawler_spark.queries import sitemap_q  # noqa: E402,F401
 from gocrawler_spark.queries import stem_q  # noqa: E402,F401
+from gocrawler_spark.queries import stream_q  # noqa: E402,F401
 from gocrawler_spark.queries import warc_q  # noqa: E402,F401
 from gocrawler_spark.queries import text_q  # noqa: E402,F401

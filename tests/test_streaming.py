@@ -234,3 +234,28 @@ def test_content_dedup_stateful_drop_accounting(spark, tmp_path):
     ]
     assert by_key["sigB"] == [("https://x.example/b1", 0)]
     assert by_key["sigC"] == [("https://x.example/c1", 0)]
+
+
+def test_streaming_corpus_top100_commits_per_file(spark):
+    """The registered streaming query must actually run MULTIPLE MERGE
+    commits (one per landed file) — a single mega-batch would pass the
+    oracle without exercising cross-batch accumulation."""
+    import os
+    import tempfile
+
+    import gocrawler_spark.streaming.corpus_stream as CS
+    from gocrawler_spark.queries.stream_q import (
+        N_BATCH_FILES,
+        streaming_corpus_top100,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    rows = streaming_corpus_top100(spark, sf_dir).collect()
+    assert rows and rows[0].cnt >= rows[-1].cnt
+    state = os.path.join(
+        tempfile.gettempdir(), "gocrawler_spark_stream_q", "state"
+    )
+    man = CS._read_state_manifest(state)
+    assert man is not None and man["batch_id"] == N_BATCH_FILES - 1
