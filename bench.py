@@ -121,6 +121,9 @@ HEADLINE = [
     "anchor_text_stats",
     "image_caption_provenance",
     "streaming_corpus_top100",
+    "image_patch_tokens",
+    "multimodal_packing",
+    "image_caption_alignment",
 ]
 
 
