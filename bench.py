@@ -124,6 +124,7 @@ HEADLINE = [
     "image_patch_tokens",
     "multimodal_packing",
     "image_caption_alignment",
+    "warc_revisit_stats",
 ]
 
 

@@ -153,3 +153,118 @@ def warc_cdx_lookup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ok").alias("n_fetched_ok"),
         F.sum("plen").alias("sum_payload_bytes"),
     ).select("n_sampled", "n_fetched_ok", "sum_payload_bytes")
+
+
+# ---------------------------------------------------------------------------
+# Cross-crawl revisit dedup: refetch everything a month later with a
+# deterministic 1-in-7 content change; unchanged payloads must come
+# back as WARC revisit records (identical-payload-digest profile) that
+# store ZERO payload bytes and point at the first crawl's capture.
+_RECRAWL_DELTA_S = 30 * 86400
+
+
+@register(
+    "warc_revisit_stats",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resource,
+       CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_revisit,
+       CAST(sum(CASE WHEN doc_id % 7 = 0
+                     THEN octet_length(encode(text)) + 3 ELSE 0 END)
+            AS BIGINT) AS stored_bytes,
+       CAST(sum(CASE WHEN doc_id % 7 <> 0
+                     THEN octet_length(encode(text)) ELSE 0 END)
+            AS BIGINT) AS deduped_bytes,
+       CAST(count(*) AS BIGINT) AS n_digest_ok,
+       CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_refers_ok
+FROM documents
+""",
+)
+def warc_revisit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two crawls through the WARC sink: crawl 1 archives every doc;
+    crawl 2 (30 days later, every 7th doc's content changed with a
+    ``' v2'`` suffix) is deduped against crawl 1's CDX index via
+    ``plan_revisits`` — changed docs become full resource records,
+    unchanged docs become zero-payload revisit records whose
+    payload-digest matches crawl 1's capture of the same URL and whose
+    refers-date is crawl 1's fetch time. ``deduped_bytes`` (payload
+    bytes NOT re-stored) is recovered engine-side by joining the
+    revisits back to crawl 1's verified payloads; the oracle states
+    every quantity closed-form over ``documents``.
+
+    Scale shape: the dedup decision is one digest map + one url
+    equijoin against the O(records) CDX index — crawl 1's payload
+    bytes are never re-read to decide; the deduped-bytes audit join
+    moves crawl 1 lengths, not payloads."""
+    scratch = _fresh_scratch("warc_revisit_q")
+    dir1 = os.path.join(scratch, "crawl1")
+    dir2 = os.path.join(scratch, "crawl2")
+    os.makedirs(dir1)
+    os.makedirs(dir2)
+
+    crawl1 = _docs_as_payloads(spark, sf_dir)
+    W.write_warc(crawl1, dir1, n_segments=8).collect()
+
+    doc_id = F.regexp_extract("url", r"/d(\d+)$", 1).cast("long")
+    crawl2 = crawl1.select(
+        "url",
+        (F.col("fetch_ts") + _RECRAWL_DELTA_S).alias("fetch_ts"),
+        "content_type",
+        F.when(
+            doc_id % 7 == 0,
+            F.concat(F.col("payload"), F.lit(b" v2")),
+        )
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    planned = W.plan_revisits(crawl2, W.read_cdx(spark, dir1))
+    W.write_warc(planned, dir2, n_segments=8).collect()
+
+    back = W.read_warc_all(spark, dir2)
+    # audit side: a revisit's deduped bytes = the referred capture's
+    # length; lengths come from crawl 1's CDX-verified payloads
+    prior = W.read_warc(spark, dir1).select(
+        "url",
+        F.octet_length("payload").alias("prior_len"),
+        F.col("fetch_ts").alias("prior_ts"),
+    )
+    joined = back.join(prior, "url", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum((F.col("rtype") == "resource").cast("int"))
+        .cast("bigint")
+        .alias("n_resource"),
+        F.sum((F.col("rtype") == "revisit").cast("int"))
+        .cast("bigint")
+        .alias("n_revisit"),
+        F.sum(F.octet_length("payload")).cast("bigint").alias("stored_bytes"),
+        F.sum(
+            F.when(F.col("rtype") == "revisit", F.col("prior_len")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("deduped_bytes"),
+        F.sum(F.col("digest_ok").cast("int"))
+        .cast("bigint")
+        .alias("n_digest_ok"),
+        F.sum(
+            (
+                (F.col("rtype") == "revisit")
+                & (F.col("refers_date") == F.col("prior_ts"))
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_refers_ok"),
+    ).select(
+        "n_records",
+        "n_resource",
+        "n_revisit",
+        "stored_bytes",
+        "deduped_bytes",
+        "n_digest_ok",
+        "n_refers_ok",
+    )

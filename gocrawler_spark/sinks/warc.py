@@ -84,6 +84,38 @@ def build_record(
     return head + payload + b"\r\n\r\n"
 
 
+def build_revisit(
+    url: str,
+    fetch_ts: int,
+    content_type: str,
+    payload_digest: str,
+    refers_date: int,
+) -> bytes:
+    """One ``revisit`` record (WARC 1.1 §6.7.2, profile
+    identical-payload-digest — the Common Crawl cross-crawl dedup
+    convention): a re-fetch whose payload digest equals an earlier
+    capture stores NO payload bytes, only the digest and a pointer to
+    the capture it duplicates."""
+    date = _iso(fetch_ts)
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}|{date}|revisit")
+    head = (
+        "WARC/1.1\r\n"
+        "WARC-Type: revisit\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
+        "identical-payload-digest\r\n"
+        f"WARC-Refers-To-Target-URI: {url}\r\n"
+        f"WARC-Refers-To-Date: {_iso(refers_date)}\r\n"
+        f"WARC-Payload-Digest: {payload_digest}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        "Content-Length: 0\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return head + b"\r\n\r\n"
+
+
 def build_warcinfo(date_ts: int) -> bytes:
     fields = (
         f"software: {_SOFTWARE}\r\nformat: WARC file version 1.1\r\n"
@@ -159,19 +191,36 @@ def write_warc(
         sid = int(pdf["seg"].iloc[0])
         name = f"seg-{sid:05d}.warc" + (".gz" if compress else "")
         first_ts = int(pdf["fetch_ts"].iloc[0])
+        has_revisits = "is_revisit" in pdf.columns
         chunks = [build_warcinfo(first_ts)]
-        urls, tss = [], []
+        urls, tss, rtypes, digests = [], [], [], []
         for r in pdf.itertuples(index=False):
-            chunks.append(
-                build_record(
-                    str(r.url),
-                    int(r.fetch_ts),
-                    str(r.content_type),
-                    bytes(r.payload),
+            payload = bytes(r.payload)
+            digest = block_digest(payload)
+            if has_revisits and bool(r.is_revisit):
+                chunks.append(
+                    build_revisit(
+                        str(r.url),
+                        int(r.fetch_ts),
+                        str(r.content_type),
+                        digest,
+                        int(r.refers_date),
+                    )
                 )
-            )
+                rtypes.append("revisit")
+            else:
+                chunks.append(
+                    build_record(
+                        str(r.url),
+                        int(r.fetch_ts),
+                        str(r.content_type),
+                        payload,
+                    )
+                )
+                rtypes.append("resource")
             urls.append(str(r.url))
             tss.append(int(r.fetch_ts))
+            digests.append(digest)
         if compress:
             chunks = [
                 gzip.compress(c, compresslevel=6, mtime=0) for c in chunks
@@ -198,6 +247,8 @@ def write_warc(
                 "file": name,
                 "offset": offsets,
                 "rlen": lengths,
+                "rtype": rtypes,
+                "digest": digests,
             }
         )
         idx_path = os.path.join(out_dir, f"seg-{sid:05d}.cdx.parquet")
@@ -217,6 +268,44 @@ def write_warc(
         .applyInPandas(
             write_segment, "file string, n_records long, file_bytes long"
         )
+    )
+
+
+def plan_revisits(fetches: DataFrame, prior_cdx: DataFrame) -> DataFrame:
+    """Mark each re-fetch that duplicates its URL's latest prior
+    capture (identical payload digest) as a revisit: adds
+    ``is_revisit boolean`` + ``refers_date long`` columns that
+    ``write_warc`` turns into revisit records instead of full resource
+    records — the cross-crawl storage dedup Common Crawl ships as its
+    `revisit` records.
+
+    Scale shape: one Arrow-batched digest map over the new payloads
+    (per-payload hashing is inherent work, same class as the codecs),
+    one groupBy(url) over the prior index (O(index), payload-free),
+    one equijoin on url. Payload bytes never shuffle for the compare —
+    only (url, digest) rows move."""
+    @F.pandas_udf("string")
+    def digest_udf(payloads: pd.Series) -> pd.Series:
+        return payloads.map(lambda b: block_digest(bytes(b)))
+
+    prior = prior_cdx.groupBy("url").agg(
+        F.max_by("digest", "fetch_ts").alias("prior_digest"),
+        F.max("fetch_ts").alias("prior_ts"),
+    )
+    cur = fetches.withColumn("digest", digest_udf(F.col("payload")))
+    j = cur.join(prior, "url", "left")
+    return (
+        j.withColumn(
+            "is_revisit",
+            F.coalesce(F.col("digest") == F.col("prior_digest"), F.lit(False)),
+        )
+        .withColumn(
+            "refers_date",
+            F.when(F.col("is_revisit"), F.col("prior_ts")).otherwise(
+                F.lit(-1)
+            ).cast("long"),
+        )
+        .drop("digest", "prior_digest", "prior_ts")
     )
 
 
@@ -270,10 +359,83 @@ def parse_segments(files: DataFrame) -> DataFrame:
     )
 
 
+def parse_segments_all(files: DataFrame) -> DataFrame:
+    """Like ``parse_segments`` but revisit-aware: emits resource AND
+    revisit records as ``(url, fetch_ts, content_type, payload,
+    digest_ok, rtype, payload_digest, refers_date)``. A resource's
+    ``payload_digest`` is its verified block digest; a revisit carries
+    an empty payload, the duplicated capture's digest, and the epoch
+    of the capture it refers to (``-1`` if the header is missing or
+    malformed). ``digest_ok`` for a revisit means structural validity:
+    empty block + a payload-digest header present."""
+    files = files.select("content")
+
+    def _ts(iso: str) -> int:
+        try:
+            return int(
+                datetime.strptime(iso, "%Y-%m-%dT%H:%M:%SZ")
+                .replace(tzinfo=timezone.utc)
+                .timestamp()
+            )
+        except ValueError:
+            return -1
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "url": [], "fetch_ts": [], "content_type": [],
+                "payload": [], "digest_ok": [], "rtype": [],
+                "payload_digest": [], "refers_date": [],
+            }
+            for blob in pdf["content"]:
+                for headers, payload in iter_records(bytes(blob)):
+                    rtype = headers.get("warc-type")
+                    if rtype not in ("resource", "revisit"):
+                        continue
+                    rows["url"].append(headers.get("warc-target-uri", ""))
+                    rows["fetch_ts"].append(_ts(headers.get("warc-date", "")))
+                    rows["content_type"].append(headers.get("content-type", ""))
+                    rows["payload"].append(payload)
+                    rows["rtype"].append(rtype)
+                    if rtype == "resource":
+                        dg = block_digest(payload)
+                        rows["digest_ok"].append(
+                            headers.get("warc-block-digest", "") == dg
+                        )
+                        rows["payload_digest"].append(dg)
+                        rows["refers_date"].append(-1)
+                    else:
+                        pdg = headers.get("warc-payload-digest", "")
+                        rows["digest_ok"].append(
+                            payload == b"" and pdg.startswith("sha1:")
+                        )
+                        rows["payload_digest"].append(pdg)
+                        rows["refers_date"].append(
+                            _ts(headers.get("warc-refers-to-date", ""))
+                        )
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        parse,
+        "url string, fetch_ts long, content_type string, payload binary, "
+        "digest_ok boolean, rtype string, payload_digest string, "
+        "refers_date long",
+    )
+
+
 def read_warc(spark: SparkSession, warc_dir: str) -> DataFrame:
     """Batch-source WARC segments back through ``binaryFile`` +
     ``parse_segments``."""
     return parse_segments(
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(warc_dir)
+    )
+
+
+def read_warc_all(spark: SparkSession, warc_dir: str) -> DataFrame:
+    """Batch-source including revisit records (``parse_segments_all``)."""
+    return parse_segments_all(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
         .load(warc_dir)

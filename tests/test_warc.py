@@ -201,3 +201,81 @@ def test_cdx_random_access(spark, tmp_path):
             raise AssertionError("expected ValueError")
         except ValueError:
             pass
+
+
+def test_revisit_record_well_formed():
+    from gocrawler_spark.sinks.warc import build_revisit
+
+    dg = block_digest(b"same bytes")
+    r = build_revisit("https://x/a", 1769817600, "text/html", dg, 1767225600)
+    assert r == build_revisit(
+        "https://x/a", 1769817600, "text/html", dg, 1767225600
+    )
+    ((headers, payload),) = list(iter_records(r))
+    assert headers["warc-type"] == "revisit"
+    assert payload == b""
+    assert headers["warc-payload-digest"] == dg
+    assert headers["warc-refers-to-target-uri"] == "https://x/a"
+    assert headers["warc-refers-to-date"] == "2026-01-01T00:00:00Z"
+    assert "identical-payload-digest" in headers["warc-profile"]
+
+
+def test_revisit_cross_crawl_dedup(spark, tmp_path):
+    from gocrawler_spark.sinks.warc import (
+        fetch_record,
+        parse_segments,
+        plan_revisits,
+        read_cdx,
+        read_warc_all,
+    )
+
+    rows1 = [
+        (f"https://x/d{i}", 1767225600 + i, "text/html",
+         f"content-{i}".encode())
+        for i in range(12)
+    ]
+    schema = "url string, fetch_ts long, content_type string, payload binary"
+    d1 = str(tmp_path / "c1")
+    write_warc(spark.createDataFrame(rows1, schema), d1, n_segments=2).collect()
+
+    # refetch a month later: docs 0/3/6/9 changed, the rest identical
+    rows2 = [
+        (u, ts + 2592000, ct, p + b" v2" if i % 3 == 0 else p)
+        for i, (u, ts, ct, p) in enumerate(rows1)
+    ]
+    planned = plan_revisits(
+        spark.createDataFrame(rows2, schema), read_cdx(spark, d1)
+    )
+    d2 = str(tmp_path / "c2")
+    write_warc(planned, d2, n_segments=2).collect()
+
+    back = {r["url"]: r for r in read_warc_all(spark, d2).collect()}
+    assert len(back) == 12
+    for i, (u, ts, ct, p) in enumerate(rows1):
+        r = back[u]
+        assert r["digest_ok"]
+        if i % 3 == 0:
+            assert r["rtype"] == "resource"
+            assert bytes(r["payload"]) == p + b" v2"
+        else:
+            assert r["rtype"] == "revisit"
+            assert bytes(r["payload"]) == b""
+            assert r["payload_digest"] == block_digest(p)
+            assert r["refers_date"] == ts  # crawl 1's capture time
+
+    # the back-compat reader must skip revisits entirely
+    legacy = read_warc(spark, d2).collect()
+    assert len(legacy) == 4 and all(r["digest_ok"] for r in legacy)
+
+    # CDX random access straight into a revisit span
+    idx = {
+        r["url"]: r
+        for r in read_cdx(spark, d2).collect()
+    }
+    rv = idx["https://x/d1"]
+    assert rv["rtype"] == "revisit"
+    headers, payload = fetch_record(
+        d2, rv["file"], int(rv["offset"]), int(rv["rlen"])
+    )
+    assert headers["warc-type"] == "revisit" and payload == b""
+    assert rv["digest"] == block_digest(b"content-1")
