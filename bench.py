@@ -125,6 +125,7 @@ HEADLINE = [
     "multimodal_packing",
     "image_caption_alignment",
     "warc_revisit_stats",
+    "streaming_image_ingest",
 ]
 
 

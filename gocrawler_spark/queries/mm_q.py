@@ -7,9 +7,11 @@ ALIGNMENT stages:
 - ``image_patch_tokens``: ViT-style token accounting per example —
   shorter-side resize to ``_TGT`` (aspect preserved, integer floor
   arithmetic), ``_PATCH``-pixel patchify, caption token count, total
-  multimodal sequence length (patches + caption + BOS/SEP). Pure
-  metadata projection: payload bytes are pruned at the scan, so at
-  100 TB this reads only the (w, h, caption) columns.
+  multimodal sequence length (patches + caption + BOS/SEP). Metadata
+  arithmetic only — on a real parquet payload table the scan prunes
+  the bytes column and reads just (w, h, caption); the synthetic
+  source still renders payloads inside its mapInPandas, which is the
+  source's cost, not this query's.
 - ``multimodal_packing``: concat-and-chunk of those per-example
   sequence lengths into fixed ``_MM_SEQ_LEN``-token training sequences
   (the multimodal twin of text_q.sequence_packing): per sequence, how

@@ -32,9 +32,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gocrawler_spark.operators import corpus as CO
+from gocrawler_spark.operators import images as IM
 from gocrawler_spark.queries import load, register
 from gocrawler_spark.queries.crawler_q import AN_TOKS_CTE, CFG
+from gocrawler_spark.queries.image_q import N_DOCS, images_from_documents
 from gocrawler_spark.streaming import corpus_stream as CS
+from gocrawler_spark.streaming import image_stream as IS
 
 # one micro-batch per landed file: >1 so cross-batch MERGE accumulation
 # is actually exercised, small enough that the per-commit overhead stays
@@ -98,3 +101,115 @@ def streaming_corpus_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.top_k(
         freq.withColumnRenamed("count", "cnt").select("token", "cnt"), 100
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming image+caption ingest under the oracle gate: land the
+# payload table as N files with two deterministic defect classes —
+# corrupted payload bytes (every 13th id: decode must fail) and the
+# near-dup twins (id % 5 == 1: stored pixels belong to the previous id,
+# so the id→render pixel check must fail) — then run the real
+# validate-and-commit stream (one commit per file) and count what the
+# committed table accepted vs quarantined. The verdicts are invariants
+# of the derivation, so the oracle states them closed-form.
+
+
+@register(
+    "streaming_image_ingest",
+    f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'qjpg' ELSE 'png' END AS fmt,
+         (doc_id % 13 = 0) OR (doc_id % 5 = 1 AND doc_id > 0) AS rej
+  FROM documents WHERE doc_id < {N_DOCS}
+)
+SELECT CAST(sum(CASE WHEN NOT rej THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_accepted,
+       CAST(sum(CASE WHEN NOT rej AND fmt = 'png' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_accepted_png,
+       CAST(sum(CASE WHEN NOT rej AND fmt = 'qjpg' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_accepted_qjpg,
+       CAST(sum(CASE WHEN rej THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected
+FROM base
+""",
+)
+def streaming_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image_stream validate-and-commit path end to end: corrupted
+    payloads and pixel-mismatched twins must land in the quarantine,
+    everything else in the committed table, across N incremental
+    foreachBatch commits (one per landed file)."""
+    import pandas as pd
+
+    scratch = _fresh_scratch("stream_img_q")
+    landing = os.path.join(scratch, "landing")
+    state = os.path.join(scratch, "state")
+    ckpt = os.path.join(scratch, "ckpt")
+
+    imgs = images_from_documents(spark, sf_dir)
+
+    def prep(batches):
+        from gocrawler_spark.sources.synthetic_web import _sentence, h64
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = int(r.image_id)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        # corrupt every 13th payload: decode must fail
+                        "bytes": b"\x00garbage"
+                        if d % 13 == 0
+                        else bytes(r.bytes),
+                        "w": r.w,
+                        "h": r.h,
+                        "fmt": r.fmt,
+                        # the stream validator checks captions against
+                        # the id-derived reference (the crawl-source
+                        # convention), not the documents-derived one
+                        "caption": _sentence(
+                            h64(r.image_id, "cap", seed=42), 12, 4, 3
+                        ),
+                        "phash": r.phash,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                ],
+            )
+
+    (
+        imgs.mapInPandas(prep, IM.IMAGE_SCHEMA)
+        .repartition(N_BATCH_FILES, "image_id")
+        .write.mode("overwrite")
+        .parquet(landing)
+    )
+
+    stream = (
+        spark.readStream.schema(IM.IMAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    IS.ingest_images(stream, state, ckpt).awaitTermination()
+
+    acc = IS.read_images_state(spark, state)
+    rej = IS.read_rejects(spark, state)
+    sides = acc.select(F.lit("a").alias("side"), "fmt")
+    if rej is not None:
+        sides = sides.unionByName(rej.select(F.lit("r").alias("side"), "fmt"))
+    return sides.agg(
+        F.sum((F.col("side") == "a").cast("int"))
+        .cast("bigint")
+        .alias("n_accepted"),
+        F.sum(((F.col("side") == "a") & (F.col("fmt") == "png")).cast("int"))
+        .cast("bigint")
+        .alias("n_accepted_png"),
+        F.sum(((F.col("side") == "a") & (F.col("fmt") == "qjpg")).cast("int"))
+        .cast("bigint")
+        .alias("n_accepted_qjpg"),
+        F.sum((F.col("side") == "r").cast("int"))
+        .cast("bigint")
+        .alias("n_rejected"),
+    ).select("n_accepted", "n_accepted_png", "n_accepted_qjpg", "n_rejected")
