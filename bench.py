@@ -126,6 +126,7 @@ HEADLINE = [
     "image_caption_alignment",
     "warc_revisit_stats",
     "streaming_image_ingest",
+    "streaming_dedup_drops",
 ]
 
 

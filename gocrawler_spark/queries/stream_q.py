@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from gocrawler_spark.operators import corpus as CO
 from gocrawler_spark.operators import images as IM
 from gocrawler_spark.queries import load, register
-from gocrawler_spark.queries.crawler_q import AN_TOKS_CTE, CFG
+from gocrawler_spark.queries.crawler_q import AN_TOKS_CTE, CFG, _SIG_SQL, _signatures
 from gocrawler_spark.queries.image_q import N_DOCS, images_from_documents
 from gocrawler_spark.streaming import corpus_stream as CS
 from gocrawler_spark.streaming import image_stream as IS
@@ -213,3 +213,95 @@ def streaming_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_rejected"),
     ).select("n_accepted", "n_accepted_png", "n_accepted_qjpg", "n_rejected")
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup WITH drop accounting under the oracle gate: the
+# custom applyInPandasWithState operator (content_dedup_stream) runs as
+# TWO sequential availableNow executions against one checkpoint — wave 0
+# lands every en doc (url = doc_id), wave 1 lands mirror re-fetches of
+# the doc_id % 7 == 3 docs (url = doc_id#m, same signature) — so the
+# per-signature arrival counter provably survives a genuine stream
+# restart. Each wave is repartitioned by signature, so a key's arrivals
+# share a micro-batch and kept_url / report counts are closed-form:
+#   kept_url    = min url among wave-0 arrivals (string order)
+#   total_dups  = group_size - 1 + n_mirrors
+#   n_reports   = 1 + (1 if the group has any mirror)
+
+
+@register(
+    "streaming_dedup_drops",
+    f"""
+WITH sigs AS ({_SIG_SQL}),
+g AS (
+  SELECT signature,
+         min(CAST(doc_id AS VARCHAR)) AS kept_url,
+         count(*) AS n0,
+         sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS n_mir
+  FROM sigs GROUP BY signature
+)
+SELECT signature, kept_url,
+       CAST(n0 - 1 + n_mir AS BIGINT) AS total_dups,
+       CAST(1 + CASE WHEN n_mir > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_reports
+FROM g
+""",
+)
+def streaming_dedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """content_dedup_stream end to end: first-ever arrival per P5
+    signature is admitted (lowest url), every batch's dup pressure is
+    reported, and the state store carries the arrival counts across a
+    stop/restart boundary (run 2 sees run 1's keys as already-admitted)."""
+    scratch = _fresh_scratch("stream_dedup_q")
+    landing = os.path.join(scratch, "landing")
+    sink = os.path.join(scratch, "sink")
+    ckpt = os.path.join(scratch, "ckpt")
+
+    sigs = _signatures(spark, sf_dir)
+
+    def land(df: DataFrame, mode: str) -> None:
+        (
+            df.select(
+                "url",
+                F.lit(None).cast("string").alias("curated"),
+                "signature",
+                F.lit(None).cast("timestamp").alias("accepted_at"),
+            )
+            .repartition(N_BATCH_FILES, "signature")
+            .write.mode(mode)
+            .parquet(landing)
+        )
+
+    def run_stream() -> None:
+        stream = (
+            spark.readStream.schema(CS.ACCEPTED_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        (
+            CS.content_dedup_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    land(sigs.select(F.col("doc_id").cast("string").alias("url"), "signature"), "overwrite")
+    run_stream()  # wave 0: every doc is a first arrival of its group
+    land(
+        sigs.filter(F.col("doc_id") % 7 == 3).select(
+            F.concat(F.col("doc_id").cast("string"), F.lit("#m")).alias("url"),
+            "signature",
+        ),
+        "append",
+    )
+    run_stream()  # wave 1: mirrors hit restored state — all are dups
+
+    out = spark.read.parquet(sink)
+    return out.groupBy("signature").agg(
+        F.min("kept_url").alias("kept_url"),
+        F.sum("new_dups").cast("bigint").alias("total_dups"),
+        F.count("*").cast("bigint").alias("n_reports"),
+    )
