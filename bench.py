@@ -127,6 +127,7 @@ HEADLINE = [
     "warc_revisit_stats",
     "streaming_image_ingest",
     "streaming_dedup_drops",
+    "redirect_resolution",
 ]
 
 

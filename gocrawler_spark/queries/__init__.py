@@ -88,6 +88,7 @@ from gocrawler_spark.queries import dedup_q  # noqa: E402,F401
 from gocrawler_spark.queries import filter_q  # noqa: E402,F401
 from gocrawler_spark.queries import freshness_q  # noqa: E402,F401
 from gocrawler_spark.queries import funnel_q  # noqa: E402,F401
+from gocrawler_spark.queries import graph_q  # noqa: E402,F401
 from gocrawler_spark.queries import html_q  # noqa: E402,F401
 from gocrawler_spark.queries import image_pipeline_q  # noqa: E402,F401
 from gocrawler_spark.queries import image_q  # noqa: E402,F401
