@@ -128,6 +128,7 @@ HEADLINE = [
     "streaming_image_ingest",
     "streaming_dedup_drops",
     "redirect_resolution",
+    "cms_heavy_hitters",
 ]
 
 

@@ -104,6 +104,7 @@ from gocrawler_spark.queries import robots_q  # noqa: E402,F401
 from gocrawler_spark.queries import search_q  # noqa: E402,F401
 from gocrawler_spark.queries import semdedup_q  # noqa: E402,F401
 from gocrawler_spark.queries import sitemap_q  # noqa: E402,F401
+from gocrawler_spark.queries import sketch_q  # noqa: E402,F401
 from gocrawler_spark.queries import stem_q  # noqa: E402,F401
 from gocrawler_spark.queries import stream_q  # noqa: E402,F401
 from gocrawler_spark.queries import warc_q  # noqa: E402,F401
