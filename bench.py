@@ -129,6 +129,7 @@ HEADLINE = [
     "streaming_dedup_drops",
     "redirect_resolution",
     "cms_heavy_hitters",
+    "url_trap_scores",
 ]
 
 

@@ -107,5 +107,6 @@ from gocrawler_spark.queries import sitemap_q  # noqa: E402,F401
 from gocrawler_spark.queries import sketch_q  # noqa: E402,F401
 from gocrawler_spark.queries import stem_q  # noqa: E402,F401
 from gocrawler_spark.queries import stream_q  # noqa: E402,F401
+from gocrawler_spark.queries import trap_q  # noqa: E402,F401
 from gocrawler_spark.queries import warc_q  # noqa: E402,F401
 from gocrawler_spark.queries import text_q  # noqa: E402,F401
