@@ -55,6 +55,7 @@ HEADLINE = [
     "embedding_cosine_near_dups",
     "ann_ivf_topk",
     "image_resize_summary",
+    "image_sharpness_stats",
     "audio_metadata_stats",
     "video_metadata_stats",
     "audio_features_summary",

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from gocrawler_spark.fixtures import media_feats as MF
 from gocrawler_spark.fixtures.image_phash import PHASH_VALUES_SQL
+from gocrawler_spark.fixtures.image_sharp import SHARP_VALUES_SQL
 from gocrawler_spark.operators import images as IM
 from gocrawler_spark.queries import load, register
 from gocrawler_spark.sources import synthetic_images as SI
@@ -284,4 +285,52 @@ def image_resize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         checked.groupBy("dims_ok", "phash_ok")
         .agg(F.count("*").alias("n"), F.sum("pixel_sum").alias("sum_pixels"))
         .orderBy("dims_ok", "phash_ok")
+    )
+
+
+BLUR_MILLI = 20_000_000  # variance-of-Laplacian 20000: blur gate
+
+
+@register(
+    "image_sharpness_stats",
+    f"""
+    SELECT fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(CASE WHEN lapvar_milli < {BLUR_MILLI} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_blurry,
+           CAST(SUM(lapvar_milli) AS BIGINT) AS sum_lapvar_milli,
+           CAST(MIN(lapvar_milli) AS BIGINT) AS min_lapvar_milli,
+           CAST(MAX(lapvar_milli) AS BIGINT) AS max_lapvar_milli
+    FROM (
+      SELECT CASE WHEN d.doc_id % 3 = 0 THEN 'qjpg' ELSE 'png' END AS fmt,
+             f.lapvar_milli
+      FROM documents d JOIN (VALUES {SHARP_VALUES_SQL}) f(did, lapvar_milli)
+        ON d.doc_id = f.did
+      WHERE d.doc_id < {N_DOCS}
+    ) GROUP BY fmt ORDER BY fmt
+    """,
+)
+def image_sharpness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blur detection over the image table: decode → integer
+    variance-of-Laplacian (operators/images.laplacian_sharpness_milli)
+    → per-format quality stats with a blur-gate count. The scoring is
+    a pure map (payload bytes stay in their partition); only
+    (fmt, int64) reaches the shuffle.
+
+    Oracle: sharpness is a pure function of doc_id on the derived
+    table, pinned as a VALUES fixture (fixtures/image_sharp.py,
+    regenerated by an independent NAIVE per-pixel loop and
+    drift-guarded by tests/test_images.py); the SQL re-derives fmt
+    and restates the blur gate + aggregation relationally."""
+    scored = IM.score_sharpness(images_from_documents(spark, sf_dir))
+    return (
+        scored.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum((F.col("lapvar_milli") < BLUR_MILLI).cast("long")).alias("n_blurry"),
+            F.sum("lapvar_milli").alias("sum_lapvar_milli"),
+            F.min("lapvar_milli").alias("min_lapvar_milli"),
+            F.max("lapvar_milli").alias("max_lapvar_milli"),
+        )
+        .orderBy("fmt")
     )

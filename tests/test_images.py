@@ -204,3 +204,45 @@ def test_png_text_chunks_roundtrip_and_crc():
     t = _chunk(b"tEXt", b"Author\x00legacy latin-1")
     legacy = data[:_IHDR_END] + t + data[_IHDR_END:]
     assert read_png_text(legacy)["Author"] == "legacy latin-1"
+
+
+def test_sharpness_fixture_matches_naive_and_vectorized():
+    """The pinned variance-of-Laplacian fixture (fixtures/image_sharp.py)
+    must equal BOTH independent computations: the fixture's naive
+    per-pixel loop (regenerate()) and the engine's vectorized numpy
+    path (operators/images.laplacian_sharpness_milli) — so the
+    image_sharpness_stats oracle can't drift from the engine."""
+    from gocrawler_spark.fixtures import image_sharp as SF
+    from gocrawler_spark.operators.images import laplacian_sharpness_milli
+    from gocrawler_spark.sources import synthetic_images as SI
+
+    assert SF.SHARP == SF.regenerate()
+    for d in (0, 1, 3, 7, 50, 151, 299):  # twins and both formats
+        w, h = 16 + d % 49, 16 + (d * 7) % 49
+        fmt = "qjpg" if d % 3 == 0 else "png"
+        if d % 5 == 1 and d > 0:
+            p = d - 1
+            rid, w, h = str(p), 16 + p % 49, 16 + (p * 7) % 49
+        else:
+            rid = str(d)
+        px = SI.render_pixels(rid, w, h)
+        data = SI.encode_png(px) if fmt == "png" else SI.encode_qjpg(px)
+        assert (
+            laplacian_sharpness_milli(SI.decode_image(data, fmt))
+            == SF.SHARP[d][1]
+        )
+
+
+def test_sharpness_degenerate_and_blur_ordering():
+    """<3px interiors score 0; a constant image scores 0; adding
+    noise raises the score (sanity of the blur gate's direction)."""
+    import numpy as np
+
+    from gocrawler_spark.operators.images import laplacian_sharpness_milli
+
+    assert laplacian_sharpness_milli(np.zeros((2, 10, 3), np.uint8)) == 0
+    flat = np.full((16, 16, 3), 128, np.uint8)
+    assert laplacian_sharpness_milli(flat) == 0
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    assert laplacian_sharpness_milli(noisy) > laplacian_sharpness_milli(flat)
