@@ -56,6 +56,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "image_resize_summary",
     "image_sharpness_stats",
+    "image_exposure_stats",
+    "image_quality_funnel",
     "audio_metadata_stats",
     "video_metadata_stats",
     "audio_features_summary",

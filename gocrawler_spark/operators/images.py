@@ -337,3 +337,64 @@ def score_sharpness(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         sc, "image_id string, fmt string, lapvar_milli long"
     )
+
+
+def exposure_stats_milli(px: np.ndarray) -> tuple[int, int, int]:
+    """One-pass integer exposure statistics of a decoded image:
+    (luma_milli, contrast_milli, color_milli).
+
+    - luma_milli: mean channel-summed luminance g = r+g+b scaled to
+      the 0..255000 milli range — (1000·Σg)//(3n) with ONE floor
+      division, so per-pixel order can't change the result.
+    - contrast_milli: exact-rational population variance of g,
+      (1000·(n·Σg² − (Σg)²))//n² — same construction as the
+      sharpness score, zero for a flat image.
+    - color_milli: integer colorfulness proxy (Hasler–Süsstrunk
+      opponent axes without the sqrt): var(2(r−g)) + var(r+g−2b),
+      each exact-rational milli — zero for any grayscale image.
+
+    int64 bounds: g ≤ 765, |rg2| ≤ 510, |yb2| ≤ 765, n ≤ 64², so
+    1000·n·Σg² < 2^63 with room."""
+    p = px.astype(np.int64)
+    n = p.shape[0] * p.shape[1]
+    if n == 0:
+        return 0, 0, 0
+    g = p.sum(axis=2)
+    sg, sg2 = int(g.sum()), int((g * g).sum())
+    luma = (1000 * sg) // (3 * n)
+    contrast = (1000 * (n * sg2 - sg * sg)) // (n * n)
+    rg2 = 2 * (p[:, :, 0] - p[:, :, 1])
+    yb2 = p[:, :, 0] + p[:, :, 1] - 2 * p[:, :, 2]
+    sr, sr2 = int(rg2.sum()), int((rg2 * rg2).sum())
+    sy, sy2 = int(yb2.sum()), int((yb2 * yb2).sum())
+    color = (1000 * (n * sr2 - sr * sr)) // (n * n) + (
+        1000 * (n * sy2 - sy * sy)
+    ) // (n * n)
+    return luma, contrast, color
+
+
+def score_exposure(images: DataFrame) -> DataFrame:
+    """Decode every payload and emit its exposure stats →
+    (image_id, fmt, luma_milli, contrast_milli, color_milli). Pure
+    map, payload-local decode — identical scale contract to
+    score_sharpness."""
+
+    def ex(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = SI.decode_image(bytes(r.bytes), r.fmt)
+                lm, cm, co = exposure_stats_milli(px)
+                rows.append((r.image_id, r.fmt, lm, cm, co))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "fmt", "luma_milli", "contrast_milli", "color_milli",
+                ],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        ex,
+        "image_id string, fmt string, luma_milli long, "
+        "contrast_milli long, color_milli long",
+    )

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from gocrawler_spark.fixtures import media_feats as MF
 from gocrawler_spark.fixtures.image_phash import PHASH_VALUES_SQL
+from gocrawler_spark.fixtures.image_exposure import EXPOSURE_VALUES_SQL
 from gocrawler_spark.fixtures.image_sharp import SHARP_VALUES_SQL
 from gocrawler_spark.operators import images as IM
 from gocrawler_spark.queries import load, register
@@ -333,4 +334,131 @@ def image_sharpness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lapvar_milli").alias("max_lapvar_milli"),
         )
         .orderBy("fmt")
+    )
+
+
+# Exposure gates, calibrated to the synthetic corpus so every verdict
+# fires (the renders are mid-exposure by construction; a natural-image
+# deployment retunes these four constants, nothing else).
+DARK_MILLI = 105_000      # mean luminance floor (0..255000 scale)
+BRIGHT_MILLI = 112_000    # mean luminance ceiling
+FLAT_MILLI = 14_000_000   # luminance-variance (contrast) floor
+
+
+@register(
+    "image_exposure_stats",
+    f"""
+    SELECT fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(luma_milli) AS BIGINT) AS sum_luma_milli,
+           CAST(SUM(contrast_milli) AS BIGINT) AS sum_contrast_milli,
+           CAST(SUM(color_milli) AS BIGINT) AS sum_color_milli,
+           CAST(MIN(luma_milli) AS BIGINT) AS min_luma_milli,
+           CAST(MAX(luma_milli) AS BIGINT) AS max_luma_milli
+    FROM (
+      SELECT CASE WHEN d.doc_id % 3 = 0 THEN 'qjpg' ELSE 'png' END AS fmt,
+             f.luma_milli, f.contrast_milli, f.color_milli
+      FROM documents d
+      JOIN (VALUES {EXPOSURE_VALUES_SQL}) f(did, luma_milli, contrast_milli, color_milli)
+        ON d.doc_id = f.did
+      WHERE d.doc_id < {N_DOCS}
+    ) GROUP BY fmt ORDER BY fmt
+    """,
+)
+def image_exposure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-format exposure statistics: decode → one-pass integer
+    (luma, contrast, colorfulness) — operators/images.exposure_stats_milli
+    — aggregated per format. Pure map; only (fmt, 3×int64) shuffles.
+
+    Oracle: the triple is a pure function of doc_id on the derived
+    table, pinned in fixtures/image_exposure.py (independent naive
+    per-pixel regen, drift-guarded by tests/test_images.py)."""
+    scored = IM.score_exposure(images_from_documents(spark, sf_dir))
+    return (
+        scored.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("luma_milli").alias("sum_luma_milli"),
+            F.sum("contrast_milli").alias("sum_contrast_milli"),
+            F.sum("color_milli").alias("sum_color_milli"),
+            F.min("luma_milli").alias("min_luma_milli"),
+            F.max("luma_milli").alias("max_luma_milli"),
+        )
+        .orderBy("fmt")
+    )
+
+
+@register(
+    "image_quality_funnel",
+    f"""
+    SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(lapvar_milli) AS BIGINT) AS sum_lapvar_milli
+    FROM (
+      SELECT CASE
+               WHEN e.luma_milli < {DARK_MILLI} THEN 'dark'
+               WHEN e.luma_milli > {BRIGHT_MILLI} THEN 'bright'
+               WHEN e.contrast_milli < {FLAT_MILLI} THEN 'flat'
+               WHEN s.lapvar_milli < {BLUR_MILLI} THEN 'blurry'
+               ELSE 'pass'
+             END AS reason,
+             s.lapvar_milli
+      FROM documents d
+      JOIN (VALUES {EXPOSURE_VALUES_SQL}) e(did, luma_milli, contrast_milli, color_milli)
+        ON d.doc_id = e.did
+      JOIN (VALUES {SHARP_VALUES_SQL}) s(did, lapvar_milli)
+        ON d.doc_id = s.did
+      WHERE d.doc_id < {N_DOCS}
+    ) GROUP BY reason ORDER BY reason
+    """,
+)
+def image_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style pixel-quality funnel with first-failing-reason
+    accounting: each image is gated dark → bright → flat → blurry →
+    pass, and the funnel reports per-reason counts. BOTH per-image
+    scores come out of ONE decode pass (a single mapInPandas computes
+    exposure + sharpness per payload — at 100 TB you never decode an
+    image twice for two quality gates); the verdict chain itself is a
+    codegen'd CASE column, and only (reason, int64) reaches the
+    shuffle.
+
+    Oracle: exposure + sharpness are pure functions of doc_id (pinned
+    fixtures, independently regen'd), the gate chain restated as SQL
+    CASE over the joined fixtures."""
+
+    def score_both(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = SI.decode_image(bytes(r.bytes), r.fmt)
+                lm, cm, _co = IM.exposure_stats_milli(px)
+                rows.append(
+                    (r.image_id, lm, cm, IM.laplacian_sharpness_milli(px))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "luma_milli", "contrast_milli", "lapvar_milli"],
+            )
+
+    scored = images_from_documents(spark, sf_dir).select(
+        "image_id", "bytes", "fmt"
+    ).mapInPandas(
+        score_both,
+        "image_id string, luma_milli long, contrast_milli long, lapvar_milli long",
+    )
+    reason = (
+        F.when(F.col("luma_milli") < DARK_MILLI, "dark")
+        .when(F.col("luma_milli") > BRIGHT_MILLI, "bright")
+        .when(F.col("contrast_milli") < FLAT_MILLI, "flat")
+        .when(F.col("lapvar_milli") < BLUR_MILLI, "blurry")
+        .otherwise("pass")
+        .alias("reason")
+    )
+    return (
+        scored.select(reason, "lapvar_milli")
+        .groupBy("reason")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("lapvar_milli").alias("sum_lapvar_milli"),
+        )
+        .orderBy("reason")
     )

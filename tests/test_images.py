@@ -246,3 +246,45 @@ def test_sharpness_degenerate_and_blur_ordering():
     rng = np.random.default_rng(7)
     noisy = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
     assert laplacian_sharpness_milli(noisy) > laplacian_sharpness_milli(flat)
+
+
+def test_exposure_fixture_matches_naive_and_vectorized():
+    """fixtures/image_exposure.py must equal BOTH independent
+    computations (naive per-pixel regen and the vectorized engine
+    path) so the exposure/funnel oracles can't drift."""
+    from gocrawler_spark.fixtures import image_exposure as XF
+    from gocrawler_spark.operators.images import exposure_stats_milli
+    from gocrawler_spark.sources import synthetic_images as SI
+
+    assert XF.EXPOSURE == XF.regenerate()
+    for d in (0, 1, 3, 7, 50, 151, 299):
+        w, h = 16 + d % 49, 16 + (d * 7) % 49
+        fmt = "qjpg" if d % 3 == 0 else "png"
+        if d % 5 == 1 and d > 0:
+            p = d - 1
+            rid, w, h = str(p), 16 + p % 49, 16 + (p * 7) % 49
+        else:
+            rid = str(d)
+        px = SI.render_pixels(rid, w, h)
+        data = SI.encode_png(px) if fmt == "png" else SI.encode_qjpg(px)
+        assert exposure_stats_milli(SI.decode_image(data, fmt)) == tuple(
+            XF.EXPOSURE[d][1:]
+        )
+
+
+def test_exposure_invariants():
+    """Flat image: luma = its level*1000, zero contrast/color;
+    grayscale: zero colorfulness; brightening raises luma."""
+    import numpy as np
+
+    from gocrawler_spark.operators.images import exposure_stats_milli
+
+    flat = np.full((16, 16, 3), 128, np.uint8)
+    assert exposure_stats_milli(flat) == (128000, 0, 0)
+    rng = np.random.default_rng(11)
+    gray1 = rng.integers(0, 256, (16, 16, 1), dtype=np.int64)
+    gray = np.repeat(gray1, 3, axis=2).astype(np.uint8)
+    lm, cm, co = exposure_stats_milli(gray)
+    assert co == 0 and cm > 0
+    brighter = np.clip(gray.astype(np.int64) + 50, 0, 255).astype(np.uint8)
+    assert exposure_stats_milli(brighter)[0] > lm
