@@ -58,6 +58,7 @@ HEADLINE = [
     "image_sharpness_stats",
     "image_exposure_stats",
     "image_quality_funnel",
+    "image_model_scores",
     "audio_metadata_stats",
     "video_metadata_stats",
     "audio_features_summary",

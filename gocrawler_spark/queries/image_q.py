@@ -30,8 +30,10 @@ from pyspark.sql import functions as F
 from gocrawler_spark.fixtures import media_feats as MF
 from gocrawler_spark.fixtures.image_phash import PHASH_VALUES_SQL
 from gocrawler_spark.fixtures.image_exposure import EXPOSURE_VALUES_SQL
+from gocrawler_spark.fixtures.image_probe import PROBE_VALUES_SQL
 from gocrawler_spark.fixtures.image_sharp import SHARP_VALUES_SQL
 from gocrawler_spark.operators import images as IM
+from gocrawler_spark.operators import inference as INF
 from gocrawler_spark.queries import load, register
 from gocrawler_spark.sources import synthetic_images as SI
 
@@ -461,4 +463,62 @@ def image_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lapvar_milli").alias("sum_lapvar_milli"),
         )
         .orderBy("reason")
+    )
+
+
+KEEP_PROBE_MILLI = -10_000  # probe-score keep gate (corpus-calibrated)
+
+
+@register(
+    "image_model_scores",
+    f"""
+    SELECT fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(CASE WHEN score_milli >= {KEEP_PROBE_MILLI}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(score_milli) AS BIGINT) AS sum_score_milli,
+           CAST(MIN(score_milli) AS BIGINT) AS min_score_milli,
+           CAST(MAX(score_milli) AS BIGINT) AS max_score_milli
+    FROM (
+      SELECT CASE WHEN d.doc_id % 3 = 0 THEN 'qjpg' ELSE 'png' END AS fmt,
+             f.score_milli
+      FROM documents d
+      JOIN (VALUES {PROBE_VALUES_SQL}) f(did, score_milli)
+        ON d.doc_id = f.did
+      WHERE d.doc_id < {N_DOCS}
+    ) GROUP BY fmt ORDER BY fmt
+    """,
+)
+def image_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched model inference over the image table: decode → resize
+    to the model input (24×24) → accumulate into fixed-size stacked
+    tensors ACROSS Arrow batches → score each stack with the pluggable
+    model_fn (operators/inference.infer_batched; deterministic integer
+    linear probe standing in for an NSFW/aesthetic tower) → per-format
+    keep-gate stats. Payload bytes never shuffle; the device batch
+    size is decoupled from Arrow's batch boundary.
+
+    Oracle: the probe score is a pure function of doc_id on the
+    derived table, pinned in fixtures/image_probe.py (independent
+    naive triple-loop regen, drift-guarded by tests/test_inference.py)."""
+    imgs = images_from_documents(spark, sf_dir)
+    # fmt is a pure function of the id (module docstring) — derive it
+    # instead of joining the image table back on itself, which would
+    # re-run the payload materialization and add a shuffle.
+    scored = INF.infer_batched(imgs, batch_size=64).withColumn(
+        "fmt",
+        F.when(F.col("image_id").cast("long") % 3 == 0, "qjpg").otherwise("png"),
+    )
+    return (
+        scored.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(
+                (F.col("score_milli") >= KEEP_PROBE_MILLI).cast("long")
+            ).alias("n_keep"),
+            F.sum("score_milli").alias("sum_score_milli"),
+            F.min("score_milli").alias("min_score_milli"),
+            F.max("score_milli").alias("max_score_milli"),
+        )
+        .orderBy("fmt")
     )
