@@ -59,6 +59,7 @@ HEADLINE = [
     "image_exposure_stats",
     "image_quality_funnel",
     "image_model_scores",
+    "image_byte_dedup",
     "audio_metadata_stats",
     "video_metadata_stats",
     "audio_features_summary",

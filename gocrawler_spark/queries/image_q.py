@@ -522,3 +522,54 @@ def image_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt")
     )
+
+
+@register(
+    "image_byte_dedup",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(COUNT(*) - SUM(is_dup) AS BIGINT) AS n_distinct_payloads,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup_rows,
+           CAST(1 + MAX(is_dup) AS BIGINT) AS max_group_size,
+           CAST(SUM(CASE WHEN is_dup = 1 THEN doc_id - 1 ELSE 0 END)
+                AS BIGINT) AS sum_dup_canonical_ids
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 1 AND doc_id > 0 AND doc_id % 3 = 2
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM documents WHERE doc_id < {N_DOCS}
+    )
+    """,
+)
+def image_byte_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact storage-level dedup over the image table: sha256 the
+    payload JVM-side (F.sha2 — zero Python in the hot path), group,
+    first-wins canonical = lowest id per group. Complements the phash
+    NEAR-dup path: at 100 TB this is the cheap pass that collapses
+    byte-identical re-crawls/mirrors before any decode happens, and
+    the only shuffled data is (32-byte digest, id) — never payloads.
+
+    Oracle: byte-identical groups follow from the derivation in
+    closed form — the %5==1 twin re-renders doc_id-1's pixels, the
+    codecs are deterministic, so bytes collide iff the formats also
+    match (both png ⇔ doc_id % 3 = 2, since (doc_id-1) % 3 = 1 ≠ 0);
+    verified exhaustively in tests/test_images.py. The canonical-id
+    sum pins the first-wins choice, not just the group count."""
+    groups = (
+        images_from_documents(spark, sf_dir)
+        .select(
+            F.col("image_id").cast("long").alias("iid"),
+            F.sha2(F.col("bytes"), 256).alias("sha"),
+        )
+        .groupBy("sha")
+        .agg(F.count("*").alias("n"), F.min("iid").alias("canon"))
+    )
+    return groups.agg(
+        F.sum("n").alias("n_images"),
+        F.count("*").alias("n_distinct_payloads"),
+        F.sum(F.col("n") - 1).alias("n_dup_rows"),
+        F.max("n").alias("max_group_size"),
+        F.sum(F.when(F.col("n") > 1, F.col("canon")).otherwise(0)).alias(
+            "sum_dup_canonical_ids"
+        ),
+    )

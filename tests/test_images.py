@@ -288,3 +288,32 @@ def test_exposure_invariants():
     assert co == 0 and cm > 0
     brighter = np.clip(gray.astype(np.int64) + 50, 0, 255).astype(np.uint8)
     assert exposure_stats_milli(brighter)[0] > lm
+
+
+def test_byte_dedup_collision_rule_exhaustive():
+    """The image_byte_dedup oracle's closed form — payloads collide
+    iff doc_id % 5 == 1 and doc_id % 3 == 2 (twin re-render + same
+    format) — verified exhaustively over all 300 derived payloads,
+    including that NO other sha256 collisions exist."""
+    import hashlib
+
+    from gocrawler_spark.sources import synthetic_images as SI
+
+    shas = {}
+    for d in range(300):
+        w, h = 16 + d % 49, 16 + (d * 7) % 49
+        fmt = "qjpg" if d % 3 == 0 else "png"
+        if d % 5 == 1 and d > 0:
+            p = d - 1
+            rid, w, h = str(p), 16 + p % 49, 16 + (p * 7) % 49
+        else:
+            rid = str(d)
+        px = SI.render_pixels(rid, w, h)
+        data = SI.encode_png(px) if fmt == "png" else SI.encode_qjpg(px)
+        shas[d] = hashlib.sha256(data).hexdigest()
+    dup_of_prev = {d for d in range(1, 300) if shas[d] == shas[d - 1]}
+    assert dup_of_prev == {d for d in range(1, 300) if d % 5 == 1 and d % 3 == 2}
+    from collections import Counter
+
+    sizes = Counter(Counter(shas.values()).values())
+    assert sizes == {1: 260, 2: 20}
