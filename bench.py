@@ -60,6 +60,7 @@ HEADLINE = [
     "image_quality_funnel",
     "image_model_scores",
     "image_byte_dedup",
+    "opic_priorities",
     "audio_metadata_stats",
     "video_metadata_stats",
     "audio_features_summary",

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gocrawler_spark.operators.graph import resolve_chains
+from gocrawler_spark.operators.graph import opic_waves, resolve_chains
 from gocrawler_spark.queries import load, register
 
 MAX_HOPS = 32
@@ -118,3 +118,87 @@ def redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_chains(redirect_edges(spark, sf_dir), MAX_HOPS).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# OPIC frontier prioritization (Abiteboul et al., WWW 2003)
+# ---------------------------------------------------------------------------
+
+OPIC_WAVES = 3
+OPIC_CASH0 = 1_000_000
+
+# the link graph as pure doc_id arithmetic (out-degree exactly 2),
+# stated identically in both engines; n = count(documents) keeps the
+# targets in-table at every SF. Self-loops are allowed and handled
+# (a page may cite itself; OPIC just hands the cash back).
+_OPIC_EDGES_CTE = """
+nn AS (SELECT count(*) AS c FROM documents),
+nodes AS (SELECT doc_id AS node FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT c FROM nn) AS dst,
+         1 AS slot, 2 AS n_slots FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 5) % (SELECT c FROM nn), 2, 2 FROM documents
+)"""
+
+
+def _opic_step_sql(prev: str, out: str) -> str:
+    """One OPIC wave as SQL: distribute each node's cash over its two
+    edge slots (slot 1 takes cash // 2, the last slot absorbs the
+    remainder — conservation to the unit), then re-collect per dst."""
+    return f"""
+d_{out} AS (
+  SELECT e.dst AS node,
+         SUM(CASE WHEN e.slot < e.n_slots THEN c.cash // e.n_slots
+                  ELSE c.cash - (e.n_slots - 1) * (c.cash // e.n_slots)
+             END) AS recv
+  FROM edges e JOIN {prev} c ON c.node = e.src GROUP BY e.dst),
+{out} AS (
+  SELECT nodes.node, CAST(COALESCE(d_{out}.recv, 0) AS BIGINT) AS cash
+  FROM nodes LEFT JOIN d_{out} ON nodes.node = d_{out}.node)"""
+
+
+@register(
+    "opic_priorities",
+    f"""
+    WITH {_OPIC_EDGES_CTE},
+    c0 AS (SELECT node, CAST({OPIC_CASH0} AS BIGINT) AS cash FROM nodes),
+    {_opic_step_sql('c0', 'c1')},
+    {_opic_step_sql('c1', 'c2')},
+    {_opic_step_sql('c2', 'c3')}
+    SELECT c0.node,
+           CAST(c0.cash + c1.cash + c2.cash AS BIGINT) AS history_micro,
+           CAST(c3.cash AS BIGINT) AS cash_micro,
+           CAST(c0.cash + c1.cash + c2.cash + c3.cash AS BIGINT)
+             AS importance_micro
+    FROM c0 JOIN c1 USING (node) JOIN c2 USING (node) JOIN c3 USING (node)
+    ORDER BY importance_micro DESC, node ASC LIMIT 20
+    """,
+)
+def opic_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC crawl-priority scores after {OPIC_WAVES} cash-distribution
+    waves over the arithmetic link graph; top-20 pages the crawler
+    would fetch next. Integer-exact cash conservation, per-wave cost =
+    one int64-keyed join + one groupBy (operators/graph.opic_waves).
+
+    Oracle: the same {OPIC_WAVES} waves unrolled as DuckDB CTE steps —
+    an independent relational restatement of the split/absorb/collect
+    arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    d = F.col("doc_id")
+    nodes = docs.select(d.alias("node"))
+    e1 = docs.select(
+        d.alias("src"),
+        ((d * 7 + 1) % F.lit(n)).cast("long").alias("dst"),
+        F.lit(1).alias("slot"),
+        F.lit(2).alias("n_slots"),
+    )
+    e2 = docs.select(
+        d.alias("src"),
+        ((d * 13 + 5) % F.lit(n)).cast("long").alias("dst"),
+        F.lit(2).alias("slot"),
+        F.lit(2).alias("n_slots"),
+    )
+    scored = opic_waves(nodes, e1.unionByName(e2), waves=OPIC_WAVES, cash0_micro=OPIC_CASH0)
+    return scored.orderBy(F.desc("importance_micro"), F.asc("node")).limit(20)

@@ -48,3 +48,27 @@ def test_random_functional_graph(spark):
     rng = random.Random(7)
     succ = {s: rng.randrange(120) for s in rng.sample(range(120), 80)}
     _run(spark, succ, 32)
+
+
+def test_opic_cash_conservation_and_hand_computed(spark):
+    """Total cash is conserved to the micro-unit across waves, and a
+    hand-computable 3-node cycle gives the exact expected split."""
+    from pyspark.sql import functions as F
+
+    from gocrawler_spark.operators.graph import opic_waves
+
+    # 3-cycle with uneven out-degrees: node 0 -> 1,2 (deg 2); 1 -> 2; 2 -> 0
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1, 1, 2), (0, 2, 2, 2), (1, 2, 1, 1), (2, 0, 1, 1)],
+        "src long, dst long, slot int, n_slots int",
+    )
+    out = {r["node"]: r for r in opic_waves(nodes, edges, waves=2, cash0_micro=9).collect()}
+    # wave1: 0 gives 4 to 1, 5 to 2; 1 gives 9 to 2; 2 gives 9 to 0
+    #   cash: 0->9, 1->4, 2->14 ; hist: 9 each
+    # wave2: 0 gives 4,5; 1 gives 4; 2 gives 14
+    #   cash: 0->14, 1->4, 2->9 ; hist: 0:18, 1:13, 2:23
+    assert (out[0]["history_micro"], out[0]["cash_micro"]) == (18, 14)
+    assert (out[1]["history_micro"], out[1]["cash_micro"]) == (13, 4)
+    assert (out[2]["history_micro"], out[2]["cash_micro"]) == (23, 9)
+    assert sum(r["cash_micro"] for r in out.values()) == 27  # conserved
