@@ -61,6 +61,7 @@ HEADLINE = [
     "image_model_scores",
     "image_byte_dedup",
     "opic_priorities",
+    "image_bucketed_enrich",
     "audio_metadata_stats",
     "video_metadata_stats",
     "audio_features_summary",

@@ -34,6 +34,7 @@ from gocrawler_spark.fixtures.image_probe import PROBE_VALUES_SQL
 from gocrawler_spark.fixtures.image_sharp import SHARP_VALUES_SQL
 from gocrawler_spark.operators import images as IM
 from gocrawler_spark.operators import inference as INF
+from gocrawler_spark.plans import image_store as IST
 from gocrawler_spark.queries import load, register
 from gocrawler_spark.sources import synthetic_images as SI
 
@@ -572,4 +573,53 @@ def image_byte_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n") > 1, F.col("canon")).otherwise(0)).alias(
             "sum_dup_canonical_ids"
         ),
+    )
+
+
+@register(
+    "image_bucketed_enrich",
+    f"""
+    SELECT fmt, keep,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(score_milli) AS BIGINT) AS sum_score_milli,
+           CAST(SUM(w) AS BIGINT) AS sum_w
+    FROM (
+      SELECT CASE WHEN d.doc_id % 3 = 0 THEN 'qjpg' ELSE 'png' END AS fmt,
+             f.score_milli >= {KEEP_PROBE_MILLI} AS keep,
+             f.score_milli,
+             {wh_case_sql("d.doc_id")}
+      FROM documents d
+      JOIN (VALUES {PROBE_VALUES_SQL}) f(did, score_milli)
+        ON d.doc_id = f.did
+      WHERE d.doc_id < {N_DOCS}
+    ) GROUP BY fmt, keep ORDER BY fmt, keep
+    """,
+)
+def image_bucketed_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-store pipeline under the oracle gate: write the
+    payload table bucketed by image_id (plans/image_store.py — the
+    Parquet stand-in for Iceberg bucket(N, image_id)), derive the
+    inference-score enrichment by scanning payloads IN PLACE, write it
+    bucket-aligned, then join payloads ⋈ scores payload-locally (zero
+    Exchange when both sides are non-broadcastable — plan-asserted in
+    tests/test_image_store.py) and aggregate the keep-gate per format.
+
+    Oracle: probe scores pinned (fixtures/image_probe.py), w re-derived
+    arithmetically — the relational shape restated over the fixtures."""
+    store = IST.ImageStore(spark, name="q_image_store", n_buckets=8)
+    store.write_payloads(images_from_documents(spark, sf_dir))
+    store.write_enrichment(
+        INF.infer_batched(store.payloads(), batch_size=64), "scores"
+    )
+    return (
+        store.enrich("scores")
+        .groupBy(
+            "fmt", (F.col("score_milli") >= KEEP_PROBE_MILLI).alias("keep")
+        )
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("score_milli").alias("sum_score_milli"),
+            F.sum("w").alias("sum_w"),
+        )
+        .orderBy("fmt", "keep")
     )
