@@ -62,6 +62,7 @@ HEADLINE = [
     "image_byte_dedup",
     "opic_priorities",
     "image_bucketed_enrich",
+    "streaming_scored_ingest",
     "audio_metadata_stats",
     "video_metadata_stats",
     "audio_features_summary",

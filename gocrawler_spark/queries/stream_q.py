@@ -35,7 +35,12 @@ from gocrawler_spark.operators import corpus as CO
 from gocrawler_spark.operators import images as IM
 from gocrawler_spark.queries import load, register
 from gocrawler_spark.queries.crawler_q import AN_TOKS_CTE, CFG, _SIG_SQL, _signatures
-from gocrawler_spark.queries.image_q import N_DOCS, images_from_documents
+from gocrawler_spark.fixtures.image_probe import PROBE_VALUES_SQL
+from gocrawler_spark.queries.image_q import (
+    KEEP_PROBE_MILLI,
+    N_DOCS,
+    images_from_documents,
+)
 from gocrawler_spark.streaming import corpus_stream as CS
 from gocrawler_spark.streaming import image_stream as IS
 
@@ -304,4 +309,113 @@ def streaming_dedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("kept_url").alias("kept_url"),
         F.sum("new_dups").cast("bigint").alias("total_dups"),
         F.count("*").cast("bigint").alias("n_reports"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Score-on-ingest under the oracle gate: same landing construction as
+# streaming_image_ingest (corrupted 13ths + pixel-mismatched twins
+# quarantine), but the stream commits inference scores for every
+# accepted row in the SAME manifest swap. Accepted pixels are the
+# native render of their id, so the pinned probe fixture states each
+# committed score closed-form.
+
+
+@register(
+    "streaming_scored_ingest",
+    f"""
+WITH base AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 3 = 0 THEN 'qjpg' ELSE 'png' END AS fmt,
+         f.score_milli
+  FROM documents d
+  JOIN (VALUES {PROBE_VALUES_SQL}) f(did, score_milli)
+    ON d.doc_id = f.did
+  WHERE d.doc_id < {N_DOCS}
+    AND d.doc_id % 13 <> 0
+    AND NOT (d.doc_id % 5 = 1 AND d.doc_id > 0)
+)
+SELECT fmt,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(CASE WHEN score_milli >= {KEEP_PROBE_MILLI}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(SUM(score_milli) AS BIGINT) AS sum_score_milli
+FROM base GROUP BY fmt ORDER BY fmt
+""",
+)
+def streaming_scored_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-on-ingest end to end: N foreachBatch commits, each
+    validating its file's payloads AND inference-scoring the accepted
+    rows while they are hot (streaming/image_stream.py score=True),
+    one manifest swap per batch covering both tables. The committed
+    score table must contain exactly the accepted rows with the
+    fixture-pinned probe scores — quarantined rows (corrupt payloads,
+    pixel-mismatched twins) must never be scored."""
+    import pandas as pd
+
+    scratch = _fresh_scratch("stream_scored_q")
+    landing = os.path.join(scratch, "landing")
+    state = os.path.join(scratch, "state")
+    ckpt = os.path.join(scratch, "ckpt")
+
+    imgs = images_from_documents(spark, sf_dir)
+
+    def prep(batches):
+        from gocrawler_spark.sources.synthetic_web import _sentence, h64
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = int(r.image_id)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": b"\x00garbage" if d % 13 == 0 else bytes(r.bytes),
+                        "w": r.w,
+                        "h": r.h,
+                        "fmt": r.fmt,
+                        "caption": _sentence(
+                            h64(r.image_id, "cap", seed=42), 12, 4, 3
+                        ),
+                        "phash": r.phash,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                ],
+            )
+
+    (
+        imgs.mapInPandas(prep, IM.IMAGE_SCHEMA)
+        .repartition(N_BATCH_FILES, "image_id")
+        .write.mode("overwrite")
+        .parquet(landing)
+    )
+
+    stream = (
+        spark.readStream.schema(IM.IMAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    IS.ingest_images(stream, state, ckpt, score=True).awaitTermination()
+
+    scores = IS.read_scores_state(spark, state)
+    return (
+        scores.withColumn(
+            "fmt",
+            F.when(F.col("image_id").cast("long") % 3 == 0, "qjpg").otherwise(
+                "png"
+            ),
+        )
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.sum(
+                (F.col("score_milli") >= KEEP_PROBE_MILLI).cast("long")
+            ).alias("n_keep"),
+            F.sum("score_milli").alias("sum_score_milli"),
+        )
+        .orderBy("fmt")
     )

@@ -87,11 +87,25 @@ def read_rejects(spark: SparkSession, state_path: str) -> DataFrame | None:
     return spark.read.parquet(*man["reject_dirs"])
 
 
-def image_upsert(state_path: str, psnr_floor: float = 40.0):
+def read_scores_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """All committed score batches (score-on-ingest), or None."""
+    man = _read_manifest(state_path)
+    if man is None or not man.get("score_dirs"):
+        return None
+    return spark.read.parquet(*man["score_dirs"])
+
+
+def image_upsert(state_path: str, psnr_floor: float = 40.0, score: bool = False):
     """The foreachBatch body for ingest_images (exposed for replay
     testing). Accepted payload rows append as v{batch}/; rejects (any
     failed validation check) quarantine as rej{batch}/ with their
-    verdict columns; one manifest swap commits both."""
+    verdict columns; with ``score=True`` the accepted rows are ALSO
+    run through the batched-inference harness
+    (operators/inference.infer_batched) and their scores append as
+    s{batch}/ — score-on-ingest, so a payload is decoded while it is
+    already hot instead of by a second pass over the table later. One
+    manifest swap commits all of it, so scores can never drift out of
+    sync with the accepted table under replay."""
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         man = _read_manifest(state_path) or {
@@ -119,16 +133,31 @@ def image_upsert(state_path: str, psnr_floor: float = 40.0):
             n_rej = rejected.count()
             dirs = list(man["dirs"])
             rejs = list(man["reject_dirs"])
+            scds = list(man.get("score_dirs", []))
             if n_acc:
                 accepted.write.mode("overwrite").parquet(acc_dir)
                 dirs.append(acc_dir)
+                if score:
+                    from gocrawler_spark.operators import inference as INF
+
+                    sc_dir = os.path.join(state_path, f"s{batch_id:09d}")
+                    INF.infer_batched(accepted).write.mode("overwrite").parquet(
+                        sc_dir
+                    )
+                    scds.append(sc_dir)
             if n_rej:
                 rejected.write.mode("overwrite").parquet(rej_dir)
                 rejs.append(rej_dir)
             tmp = os.path.join(state_path, "." + _MANIFEST + ".tmp")
             with open(tmp, "w") as f:
                 json.dump(
-                    {"batch_id": batch_id, "dirs": dirs, "reject_dirs": rejs}, f
+                    {
+                        "batch_id": batch_id,
+                        "dirs": dirs,
+                        "reject_dirs": rejs,
+                        "score_dirs": scds,
+                    },
+                    f,
                 )
             os.replace(tmp, os.path.join(state_path, _MANIFEST))  # commit
         finally:
@@ -142,12 +171,17 @@ def ingest_images(
     state_path: str,
     checkpoint_dir: str,
     psnr_floor: float = 40.0,
+    score: bool = False,
 ):
     """Validate-and-commit the image stream into the versioned table;
-    returns the streaming query (availableNow trigger)."""
+    returns the streaming query (availableNow trigger). With
+    ``score=True``, accepted rows are inference-scored in the same
+    commit (score-on-ingest)."""
     os.makedirs(state_path, exist_ok=True)
     return (
-        images.writeStream.foreachBatch(image_upsert(state_path, psnr_floor))
+        images.writeStream.foreachBatch(
+            image_upsert(state_path, psnr_floor, score=score)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

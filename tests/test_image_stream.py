@@ -92,3 +92,50 @@ def test_replayed_batch_is_skipped(spark, tmp_path, img_rows):
     q2 = IS.ingest_images(IS.image_batches_stream(spark, inp), state, ckpt)
     q2.awaitTermination()
     assert IS.read_images_state(spark, state).count() == before
+
+
+def test_scored_ingest_commit_and_replay(spark, tmp_path):
+    """score=True commits scores with the accepted rows in one
+    manifest swap; a replayed batch (same batch_id) is skipped and
+    duplicates nothing in either table."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from gocrawler_spark.fixtures.image_probe import PROBE
+    from gocrawler_spark.sources import synthetic_images as SI
+    from gocrawler_spark.streaming import image_stream as IS
+
+    state = str(tmp_path / "state")
+    rows = []
+    for d in range(20):
+        w, h = 16 + d % 49, 16 + (d * 7) % 49
+        px = SI.render_pixels(str(d), w, h)
+        fmt = "qjpg" if d % 3 == 0 else "png"
+        data = SI.encode_png(px) if fmt == "png" else SI.encode_qjpg(px)
+        bad = b"\x00nope" if d == 7 else data
+        from gocrawler_spark.sources.synthetic_web import _sentence, h64
+
+        rows.append(
+            (str(d), bad, w, h, fmt, _sentence(h64(str(d), "cap", seed=42), 12, 4, 3),
+             SI.ahash64(SI.decode_image(data, fmt)))
+        )
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long"
+    )
+    up = IS.image_upsert(state, score=True)
+    import os as _os
+
+    _os.makedirs(state, exist_ok=True)
+    up(df, 0)
+    up(df, 0)  # replay: must be a no-op
+    acc = IS.read_images_state(spark, state)
+    sc = IS.read_scores_state(spark, state)
+    assert acc.count() == 19 and sc.count() == 19  # d=7 quarantined
+    pinned = dict(PROBE)
+    got = {int(r["image_id"]): r["score_milli"] for r in sc.collect()}
+    for d, v in got.items():
+        if not (d % 5 == 1 and d > 0):  # non-twin: native render == fixture
+            assert v == pinned[d], d
+    # scored set == accepted set, never the quarantined row
+    assert sorted(got) == sorted(int(r["image_id"]) for r in acc.collect())
