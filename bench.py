@@ -63,6 +63,7 @@ HEADLINE = [
     "opic_priorities",
     "image_bucketed_enrich",
     "streaming_scored_ingest",
+    "image_privacy_strip",
     "audio_metadata_stats",
     "video_metadata_stats",
     "audio_features_summary",

@@ -86,3 +86,68 @@ def image_caption_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "n_images", "n_caption_ok", "n_decode_ok", "sum_caption_chars"
     )
+
+
+@register(
+    "image_privacy_strip",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_images,
+       CAST(count(*) AS BIGINT) AS n_pixels_ok,
+       CAST(count(*) AS BIGINT) AS n_clean,
+       CAST(SUM(45 + strlen(substr(text, 1, 64))
+                   + strlen('https://img.local/' || CAST(doc_id AS VARCHAR)))
+            AS BIGINT) AS sum_bytes_removed
+FROM documents
+""",
+)
+def image_privacy_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXIF-strip privacy pass: payloads arrive with provenance
+    text chunks baked in (Title=caption, Source=crawl URL — what a
+    polite crawler stamps, image_caption_provenance); before the table
+    ships as training data every text chunk must come OUT. Decode
+    stays byte-exact (pixels untouched), the stripped payload parses
+    clean, and the reclaimed bytes are accounted per row.
+
+    Oracle: the iTXt layout makes the overhead exact arithmetic —
+    12 (len+tag+crc) + keyword + 5 (flags) + UTF-8 text per chunk, so
+    45 + strlen(caption) + strlen(url) per image — restated in SQL
+    over the same documents columns; the pixel/clean flags are
+    invariants (count(*)), enforced row-by-row engine-side.
+
+    Scale: one mapInPandas pass, payload-local, no shuffle below the
+    final 1-row aggregate."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pix = clean = 0
+            removed = 0
+            for r in pdf.itertuples(index=False):
+                d = int(r.doc_id)
+                px = SI.render_pixels(str(d), 16, 16)
+                cap = (r.text or "")[:64]
+                url = f"https://img.local/{d}"
+                stamped = SI.png_with_text(px, {"Title": cap, "Source": url})
+                stripped = SI.strip_png_text(stamped)
+                n += 1
+                removed += len(stamped) - len(stripped)
+                if np.array_equal(SI.decode_png(stripped), px):
+                    pix += 1
+                if SI.read_png_text(stripped) == {}:
+                    clean += 1
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "pix": [pix],
+                    "clean": [clean],
+                    "removed": [removed],
+                }
+            )
+
+    part = docs.mapInPandas(gen, "n long, pix long, clean long, removed long")
+    return part.agg(
+        F.sum("n").alias("n_images"),
+        F.sum("pix").alias("n_pixels_ok"),
+        F.sum("clean").alias("n_clean"),
+        F.sum("removed").alias("sum_bytes_removed"),
+    )

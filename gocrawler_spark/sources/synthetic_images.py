@@ -331,3 +331,24 @@ def materialize(meta: dict, seed: int = 42) -> dict:
         "caption": meta["caption"],
         "phash": ahash64(decode_image(data, meta["fmt"])),
     }
+
+
+def strip_png_text(data: bytes) -> bytes:
+    """Remove every text chunk (tEXt / iTXt / zTXt) from a PNG — the
+    EXIF-strip privacy pass for the payload table. Walks the chunk
+    stream once and reassembles signature + non-text chunks byte-for-
+    byte, so pixels and all other metadata are untouched."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    out = [data[:8]]
+    pos = 8
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        end = pos + 12 + ln
+        if tag not in (b"tEXt", b"iTXt", b"zTXt"):
+            out.append(data[pos:end])
+        if tag == b"IEND":
+            break
+        pos = end
+    return b"".join(out)

@@ -317,3 +317,40 @@ def test_byte_dedup_collision_rule_exhaustive():
 
     sizes = Counter(Counter(shas.values()).values())
     assert sizes == {1: 260, 2: 20}
+
+
+def test_strip_png_text_removes_all_text_chunks_exactly():
+    """strip_png_text returns the byte-exact unstamped PNG, removes
+    tEXt AND iTXt, leaves pixels + other chunks untouched, and the
+    removed size matches the 45 + strlen(caption) + strlen(url)
+    arithmetic the image_privacy_strip oracle uses."""
+    import numpy as np
+
+    from gocrawler_spark.sources.synthetic_images import (
+        _IHDR_END,
+        _chunk,
+        decode_png,
+        encode_png,
+        png_with_text,
+        read_png_text,
+        render_pixels,
+        strip_png_text,
+    )
+
+    px = render_pixels("strip", 20, 14)
+    base = encode_png(px)
+    cap, url = "café — ünïcode ✓", "https://img.local/123"
+    stamped = png_with_text(px, {"Title": cap, "Source": url})
+    # add a legacy latin-1 tEXt chunk too
+    stamped = (
+        stamped[:_IHDR_END]
+        + _chunk(b"tEXt", b"Author\x00legacy")
+        + stamped[_IHDR_END:]
+    )
+    stripped = strip_png_text(stamped)
+    assert stripped == base
+    assert read_png_text(stripped) == {}
+    assert np.array_equal(decode_png(stripped), px)
+    overhead_itxt = 45 + len(cap.encode()) + len(url.encode())
+    overhead_text = 12 + len(b"Author\x00legacy")
+    assert len(stamped) - len(stripped) == overhead_itxt + overhead_text
