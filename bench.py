@@ -64,6 +64,7 @@ HEADLINE = [
     "image_bucketed_enrich",
     "streaming_scored_ingest",
     "image_privacy_strip",
+    "image_compaction_stats",
     "audio_metadata_stats",
     "video_metadata_stats",
     "audio_features_summary",

@@ -35,6 +35,7 @@ from gocrawler_spark.operators import corpus as CO
 from gocrawler_spark.operators import images as IM
 from gocrawler_spark.queries import load, register
 from gocrawler_spark.queries.crawler_q import AN_TOKS_CTE, CFG, _SIG_SQL, _signatures
+from gocrawler_spark.fixtures.image_phash import PHASH_VALUES_SQL
 from gocrawler_spark.fixtures.image_probe import PROBE_VALUES_SQL
 from gocrawler_spark.queries.image_q import (
     KEEP_PROBE_MILLI,
@@ -418,4 +419,123 @@ def streaming_scored_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score_milli").alias("sum_score_milli"),
         )
         .orderBy("fmt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-files compaction under the oracle gate: ingest the same landing
+# as streaming_image_ingest (per-batch fragment dirs), compact the
+# accepted state into the bucketed payload store, and prove nothing was
+# lost or invented — row count, id sum, and phash sum all conserved,
+# with phash stated from the pinned fixture.
+
+
+@register(
+    "image_compaction_stats",
+    f"""
+WITH base AS (
+  SELECT d.doc_id, f.phash
+  FROM documents d
+  JOIN (VALUES {PHASH_VALUES_SQL}) f(did, phash) ON d.doc_id = f.did
+  WHERE d.doc_id < {N_DOCS}
+    AND d.doc_id % 13 <> 0
+    AND NOT (d.doc_id % 5 = 1 AND d.doc_id > 0)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_stream,
+       CAST(COUNT(*) AS BIGINT) AS n_compacted,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(phash % 1000000000000) AS BIGINT) AS sum_phash_mod
+FROM base
+""",
+)
+def image_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming small-files problem, closed: ingest lands one
+    fragment dir per micro-batch (that's what makes its commit
+    idempotent), then compact_into_store rewrites the accepted state
+    into the bucketed payload store — one shuffle, n_buckets files,
+    and every enrichment join afterwards is shuffle-free. Conservation
+    is proven three ways (row count, id sum, fixture-pinned phash sum
+    mod 1e12); the file-count drop itself is asserted in
+    tests/test_image_stream.py where it's deterministic."""
+    import pandas as pd
+
+    from gocrawler_spark.plans import image_store as IST
+
+    scratch = _fresh_scratch("stream_compact_q")
+    landing = os.path.join(scratch, "landing")
+    state = os.path.join(scratch, "state")
+    ckpt = os.path.join(scratch, "ckpt")
+
+    imgs = images_from_documents(spark, sf_dir)
+
+    def prep(batches):
+        from gocrawler_spark.sources.synthetic_web import _sentence, h64
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = int(r.image_id)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": b"\x00garbage" if d % 13 == 0 else bytes(r.bytes),
+                        "w": r.w,
+                        "h": r.h,
+                        "fmt": r.fmt,
+                        "caption": _sentence(
+                            h64(r.image_id, "cap", seed=42), 12, 4, 3
+                        ),
+                        "phash": r.phash,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                ],
+            )
+
+    (
+        imgs.mapInPandas(prep, IM.IMAGE_SCHEMA)
+        .repartition(N_BATCH_FILES, "image_id")
+        .write.mode("overwrite")
+        .parquet(landing)
+    )
+    stream = (
+        spark.readStream.schema(IM.IMAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    IS.ingest_images(stream, state, ckpt).awaitTermination()
+
+    store = IST.ImageStore(spark, name="q_compact_store", n_buckets=8)
+    compacted = IS.compact_into_store(spark, state, store)
+    acc = IS.read_images_state(spark, state)
+
+    def side_stats(df, n_name):
+        return df.agg(
+            F.count("*").alias(n_name),
+            F.sum(F.col("image_id").cast("long")).alias("sum_ids"),
+            F.sum(F.col("phash") % F.lit(1_000_000_000_000)).alias(
+                "sum_phash_mod"
+            ),
+        )
+
+    a = side_stats(acc, "n_stream")
+    c = side_stats(compacted, "n_compacted").withColumnRenamed(
+        "sum_ids", "sum_ids_c"
+    ).withColumnRenamed("sum_phash_mod", "sum_phash_mod_c")
+    out = a.crossJoin(c)
+    # conservation enforced in-plan: mismatches surface as NULLs that
+    # break the oracle compare, not silently-equal aggregates
+    return out.select(
+        "n_stream",
+        "n_compacted",
+        F.when(F.col("sum_ids") == F.col("sum_ids_c"), F.col("sum_ids")).alias(
+            "sum_ids"
+        ),
+        F.when(
+            F.col("sum_phash_mod") == F.col("sum_phash_mod_c"),
+            F.col("sum_phash_mod"),
+        ).alias("sum_phash_mod"),
     )

@@ -186,3 +186,20 @@ def ingest_images(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_into_store(spark: SparkSession, state_path: str, store) -> DataFrame:
+    """Small-files maintenance: the streaming ingest necessarily lands
+    one directory per micro-batch (that is what makes its commit
+    idempotent), so after N batches the accepted table is N small
+    fragments — the classic streaming small-files problem. This pass
+    rewrites the whole accepted state into the bucketed payload store
+    (plans/image_store.py): one shuffle by image_id, after which every
+    enrichment join is shuffle-free AND the fragment count drops to
+    n_buckets files. The per-batch dirs stay committed until the
+    caller retires the manifest — readers never see a partial compact
+    (same swap discipline as every other state table here)."""
+    acc = read_images_state(spark, state_path)
+    if acc is None:
+        raise ValueError("nothing committed to compact")
+    return store.write_payloads(acc)

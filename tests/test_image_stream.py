@@ -139,3 +139,60 @@ def test_scored_ingest_commit_and_replay(spark, tmp_path):
             assert v == pinned[d], d
     # scored set == accepted set, never the quarantined row
     assert sorted(got) == sorted(int(r["image_id"]) for r in acc.collect())
+
+
+def test_compaction_reduces_files_and_conserves_rows(spark, tmp_path):
+    """compact_into_store rewrites N per-batch fragment dirs into
+    n_buckets files; rows/ids conserved exactly."""
+    import os as _os
+
+    from gocrawler_spark.plans.image_store import ImageStore
+    from gocrawler_spark.sources import synthetic_images as SI
+    from gocrawler_spark.sources.synthetic_web import _sentence, h64
+    from gocrawler_spark.streaming import image_stream as IS
+
+    state = str(tmp_path / "state")
+    _os.makedirs(state, exist_ok=True)
+    up = IS.image_upsert(state)
+    for b in range(5):  # 5 micro-batches -> 5 fragment dirs
+        rows = []
+        for i in range(8):
+            d = b * 8 + i
+            w, h = 16 + d % 49, 16 + (d * 7) % 49
+            px = SI.render_pixels(str(d), w, h)
+            fmt = "qjpg" if d % 3 == 0 else "png"
+            data = SI.encode_png(px) if fmt == "png" else SI.encode_qjpg(px)
+            rows.append(
+                (str(d), data, w, h, fmt,
+                 _sentence(h64(str(d), "cap", seed=42), 12, 4, 3),
+                 SI.ahash64(SI.decode_image(data, fmt)))
+            )
+        up(
+            spark.createDataFrame(
+                rows,
+                "image_id string, bytes binary, w int, h int, fmt string, "
+                "caption string, phash long",
+            ),
+            b,
+        )
+    acc = IS.read_images_state(spark, state)
+    frag_files = sum(
+        1
+        for root, _, fs in _os.walk(state)
+        for f in fs
+        if f.endswith(".parquet") and "/v" in root + "/"
+    )
+    store = ImageStore(spark, name="t_compact", n_buckets=4)
+    compacted = IS.compact_into_store(spark, state, store)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    tbl_files = sum(
+        1
+        for _, _, fs in _os.walk(_os.path.join(wh, "t_compact__payloads"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert frag_files >= 5 and tbl_files == 4, (frag_files, tbl_files)
+    assert compacted.count() == acc.count() == 40
+    assert sorted(r["image_id"] for r in compacted.collect()) == sorted(
+        r["image_id"] for r in acc.collect()
+    )
