@@ -65,6 +65,7 @@ HEADLINE = [
     "streaming_scored_ingest",
     "image_privacy_strip",
     "image_compaction_stats",
+    "multimodal_quality_funnel",
     "audio_metadata_stats",
     "video_metadata_stats",
     "audio_features_summary",

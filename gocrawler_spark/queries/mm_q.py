@@ -64,7 +64,7 @@ _EXTRA_TOKENS = 2  # BOS + modality separator per example
 # derivation from queries/image_q.py
 _CAP_TOKS = (
     "list_filter(regexp_split_to_array(lower(caption), "
-    "'[^\\p{L}\\p{N}]+'), x -> x <> '')"
+    "'[^\\p{L}\\p_MMF_N]+'), x -> x <> '')"
 )
 
 # per-example ViT + caption token accounting, shared by both mm queries
@@ -355,4 +355,144 @@ def image_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cos_micro") >= _ALIGN_THRESHOLD_MICRO)
         .cast("long")
         .alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal curation funnel: caption gate -> pixel gates -> model
+# gate, one decode per payload, first-failing-reason attribution.
+# ---------------------------------------------------------------------------
+
+MMF_WC_FLOOR = 11  # caption word floor (corpus-calibrated)
+
+from gocrawler_spark.fixtures.image_exposure import (  # noqa: E402
+    EXPOSURE_VALUES_SQL as _MMF_EXP,
+)
+from gocrawler_spark.fixtures.image_probe import (  # noqa: E402
+    PROBE_VALUES_SQL as _MMF_PROBE,
+)
+from gocrawler_spark.fixtures.image_sharp import (  # noqa: E402
+    SHARP_VALUES_SQL as _MMF_SHARP,
+)
+from gocrawler_spark.queries.image_q import (  # noqa: E402
+    BLUR_MILLI as _MMF_BLUR,
+    BRIGHT_MILLI as _MMF_BRIGHT,
+    DARK_MILLI as _MMF_DARK,
+    FLAT_MILLI as _MMF_FLAT,
+    KEEP_PROBE_MILLI as _MMF_KEEP,
+    N_DOCS as _MMF_N,
+)
+
+
+@register(
+    "multimodal_quality_funnel",
+    f"""
+    WITH sc AS (
+      SELECT d.doc_id,
+             length(list_filter(string_split(trim(substr(d.text, 1, 64)), ' '),
+                                x -> x <> '')) AS wc,
+             e.luma_milli, e.contrast_milli, s.lapvar_milli, p.score_milli
+      FROM documents d
+      JOIN (VALUES {_MMF_EXP}) e(did, luma_milli, contrast_milli, color_milli)
+        ON d.doc_id = e.did
+      JOIN (VALUES {_MMF_SHARP}) s(did, lapvar_milli) ON d.doc_id = s.did
+      JOIN (VALUES {_MMF_PROBE}) p(did, score_milli) ON d.doc_id = p.did
+      WHERE d.doc_id < {_MMF_N}
+    )
+    SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_images
+    FROM (
+      SELECT CASE
+               WHEN wc < {MMF_WC_FLOOR} THEN 'caption_short'
+               WHEN luma_milli < {_MMF_DARK} THEN 'dark'
+               WHEN luma_milli > {_MMF_BRIGHT} THEN 'bright'
+               WHEN contrast_milli < {_MMF_FLAT} THEN 'flat'
+               WHEN lapvar_milli < {_MMF_BLUR} THEN 'blurry'
+               WHEN score_milli < {_MMF_KEEP} THEN 'low_score'
+               ELSE 'pass'
+             END AS reason
+      FROM sc
+    ) GROUP BY reason ORDER BY reason
+    """,
+)
+def multimodal_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LAION-style curation funnel across all three
+    modalities of evidence — caption text (word floor), pixels
+    (dark/bright/flat/blurry), model score (inference keep gate) —
+    with first-failing-reason attribution, and ONE decode per payload:
+    a single mapInPandas computes exposure, sharpness, and the
+    resized-tensor probe score from the same decoded array (at 100 TB
+    decode dominates; three gate families must not cost three decode
+    passes). The caption gate runs JVM-side on the caption column
+    (split/trim/filter are codegen'd); only (reason) reaches the
+    shuffle.
+
+    Oracle: all three per-payload score families are pure functions of
+    doc_id (pinned fixtures, independently regenerated); the caption
+    word count and the CASE chain are restated relationally."""
+    import numpy as np
+    import pandas as pd
+
+    from gocrawler_spark.operators import inference as INF
+    from gocrawler_spark.queries.image_q import images_from_documents
+
+    def score_all(batches):
+        from gocrawler_spark.sources import synthetic_images as SI
+
+        W = INF.probe_weights(*INF.PROBE_HW)
+        th, tw = INF.PROBE_HW
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = SI.decode_image(bytes(r.bytes), r.fmt)
+                lm, cm, _ = IM.exposure_stats_milli(px)
+                lap = IM.laplacian_sharpness_milli(px)
+                yi = (np.arange(th) * px.shape[0]) // th
+                xi = (np.arange(tw) * px.shape[1]) // tw
+                t = px[yi][:, xi].astype(np.int64)
+                score = int((t * W).sum()) * 1000 // (th * tw * 3)
+                rows.append((r.image_id, lm, cm, lap, score))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "luma_milli", "contrast_milli",
+                    "lapvar_milli", "score_milli",
+                ],
+            )
+
+    imgs = images_from_documents(spark, sf_dir)
+    scored = imgs.select("image_id", "bytes", "fmt").mapInPandas(
+        score_all,
+        "image_id string, luma_milli long, contrast_milli long, "
+        "lapvar_milli long, score_milli long",
+    )
+    wc = F.size(
+        F.filter(
+            F.split(F.trim(F.col("caption")), " "), lambda x: x != ""
+        )
+    )
+    caps = imgs.select("image_id", wc.alias("wc"))
+    from gocrawler_spark.queries.image_q import (
+        BLUR_MILLI,
+        BRIGHT_MILLI,
+        DARK_MILLI,
+        FLAT_MILLI,
+        KEEP_PROBE_MILLI,
+    )
+
+    reason = (
+        F.when(F.col("wc") < MMF_WC_FLOOR, "caption_short")
+        .when(F.col("luma_milli") < DARK_MILLI, "dark")
+        .when(F.col("luma_milli") > BRIGHT_MILLI, "bright")
+        .when(F.col("contrast_milli") < FLAT_MILLI, "flat")
+        .when(F.col("lapvar_milli") < BLUR_MILLI, "blurry")
+        .when(F.col("score_milli") < KEEP_PROBE_MILLI, "low_score")
+        .otherwise("pass")
+        .alias("reason")
+    )
+    return (
+        scored.join(caps, "image_id")
+        .select(reason)
+        .groupBy("reason")
+        .agg(F.count("*").alias("n_images"))
+        .orderBy("reason")
     )
