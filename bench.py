@@ -66,6 +66,7 @@ HEADLINE = [
     "image_privacy_strip",
     "image_compaction_stats",
     "multimodal_quality_funnel",
+    "wds_export_stats",
     "audio_metadata_stats",
     "video_metadata_stats",
     "audio_features_summary",

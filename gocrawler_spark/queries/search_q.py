@@ -442,3 +442,62 @@ def image_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("iid").alias("last_id"),
         )
     )
+
+
+@register(
+    "wds_export_stats",
+    f"""
+WITH dims AS (
+  SELECT doc_id AS iid,
+         CASE WHEN doc_id % 3 = 0 THEN 'qjpg' ELSE 'png' END AS fmt,
+         strlen(substr(text, 1, 64)) AS cap_bytes,
+         CASE WHEN doc_id % 5 = 1 AND doc_id > 0
+                  THEN 16 + (doc_id - 1) % 49 ELSE 16 + doc_id % 49 END AS w,
+             CASE WHEN doc_id % 5 = 1 AND doc_id > 0
+                  THEN 16 + ((doc_id - 1) * 7) % 49
+                  ELSE 16 + (doc_id * 7) % 49 END AS h
+  FROM documents WHERE doc_id < 300
+),
+spans AS (
+  SELECT iid, fmt, cap_bytes,
+         CAST(sum(w * h * 3) OVER (ORDER BY iid
+              ROWS UNBOUNDED PRECEDING) - w * h * 3 AS BIGINT) AS start_off
+  FROM dims
+)
+SELECT start_off // {_SHARD_BYTES} AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(iid) AS BIGINT) AS sum_ids,
+       CAST(sum(cap_bytes) AS BIGINT) AS sum_caption_bytes,
+       CAST(sum(CASE WHEN fmt = 'qjpg' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_qjpg
+FROM spans
+GROUP BY shard_id ORDER BY shard_id
+""",
+)
+def wds_export_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset round trip under the oracle gate: export the payload
+    table as deterministic tar shards (sinks/wds.py — the interchange
+    format image+caption training loaders actually consume), read the
+    tars BACK through the binaryFile source + stdlib tarfile, and
+    aggregate per shard. Counts, id sums, caption byte sums, and the
+    lossy mix must match the first-byte-rule assignment stated
+    relationally — so the sink's bytes, the source's parse, and the
+    packing rule are all under one check."""
+    from gocrawler_spark.queries.image_q import images_from_documents
+    from gocrawler_spark.queries.warc_q import _fresh_scratch
+    from gocrawler_spark.sinks import wds as WDS
+
+    scratch = _fresh_scratch("wds_export_q")
+    imgs = images_from_documents(spark, sf_dir)
+    WDS.export_webdataset(imgs, scratch, shard_bytes=_SHARD_BYTES).collect()
+    back = WDS.read_webdataset(spark, scratch)
+    return (
+        back.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("iid").alias("sum_ids"),
+            F.sum(F.octet_length("caption")).alias("sum_caption_bytes"),
+            F.sum((F.col("fmt") == "qjpg").cast("long")).alias("n_qjpg"),
+        )
+        .orderBy("shard_id")
+    )

@@ -1,0 +1,74 @@
+"""WebDataset tar sink/source: stdlib-tarfile compatibility, byte
+determinism, and a payload-exact export/read round trip."""
+
+import io
+import os
+import tarfile
+
+from pyspark.sql import functions as F
+
+from gocrawler_spark.sinks import wds as WDS
+from gocrawler_spark.sources import synthetic_images as SI
+
+
+def test_tar_bytes_deterministic_and_tarfile_readable():
+    rows = [(5, b"PAYLOAD5", "png", "cap five"), (3, b"P3", "qjpg", "café ✓")]
+    data = WDS.build_shard_bytes(rows)
+    assert data == WDS.build_shard_bytes(list(reversed(rows)))  # order-free
+    assert len(data) % 512 == 0
+    with tarfile.open(fileobj=io.BytesIO(data), mode="r:") as tf:
+        assert tf.getnames() == [
+            "000000003.qjpg",
+            "000000003.txt",
+            "000000005.png",
+            "000000005.txt",
+        ]
+        assert tf.extractfile("000000003.txt").read().decode() == "café ✓"
+        assert tf.extractfile("000000005.png").read() == b"PAYLOAD5"
+
+
+def test_export_read_round_trip_payload_exact(spark, tmp_path):
+    out = str(tmp_path / "wds")
+    rows = []
+    for d in range(30):
+        w, h = 16 + d % 9, 16 + d % 7
+        px = SI.render_pixels(str(d), w, h)
+        fmt = "qjpg" if d % 3 == 0 else "png"
+        data = SI.encode_png(px) if fmt == "png" else SI.encode_qjpg(px)
+        rows.append((str(d), data, w, h, fmt, f"caption {d}", 0))
+    imgs = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    stats = WDS.export_webdataset(imgs, out, shard_bytes=4096).collect()
+    assert len(stats) > 1  # budget actually splits
+    assert sum(r["n_members"] for r in stats) == 60  # 2 per image
+    # deterministic re-export: same shard digests
+    stats2 = WDS.export_webdataset(imgs, out, shard_bytes=4096).collect()
+    assert sorted(r["sha256"] for r in stats) == sorted(
+        r["sha256"] for r in stats2
+    )
+
+    back = WDS.read_webdataset(spark, out)
+    got = {r["iid"]: r for r in back.collect()}
+    assert sorted(got) == list(range(30))
+    payload = {int(r[0]): r[1] for r in rows}
+    # payload bytes survive the tar byte-exactly (length checked via
+    # the source; full bytes via direct tarfile read of one shard)
+    for d, r in got.items():
+        assert r["payload_len"] == len(payload[d])
+        assert r["caption"] == f"caption {d}"
+    with tarfile.open(stats[0]["path"], "r:") as tf:
+        name = [n for n in tf.getnames() if not n.endswith(".txt")][0]
+        d = int(name.split(".")[0])
+        assert tf.extractfile(name).read() == payload[d]
+    # shard ids are contiguous ranges in id order (first-byte rule)
+    spans = sorted(
+        (r["shard_id"], r["iid"]) for r in back.collect()
+    )
+    by_shard = {}
+    for sid, iid in spans:
+        by_shard.setdefault(sid, []).append(iid)
+    flat = [i for sid in sorted(by_shard) for i in sorted(by_shard[sid])]
+    assert flat == list(range(30))
