@@ -72,3 +72,33 @@ def test_export_read_round_trip_payload_exact(spark, tmp_path):
         by_shard.setdefault(sid, []).append(iid)
     flat = [i for sid in sorted(by_shard) for i in sorted(by_shard[sid])]
     assert flat == list(range(30))
+
+
+def test_incremental_append_only_rewrites_tail_shard(spark, tmp_path):
+    """First-byte packing + deterministic bytes ⇒ appending new images
+    changes ONLY the last (partial) shard: every earlier shard's
+    sha256 is identical across exports — incremental publishing at
+    100 TB re-uploads one shard per append, not the corpus."""
+
+    def imgs_upto(n):
+        rows = []
+        for d in range(n):
+            w, h = 16 + d % 9, 16 + d % 7
+            px = SI.render_pixels(str(d), w, h)
+            rows.append((str(d), SI.encode_png(px), w, h, "png", f"c{d}", 0))
+        return spark.createDataFrame(
+            rows,
+            "image_id string, bytes binary, w int, h int, fmt string, "
+            "caption string, phash long",
+        )
+
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    s1 = {r["shard_id"]: r["sha256"]
+          for r in WDS.export_webdataset(imgs_upto(20), out1, 4096).collect()}
+    s2 = {r["shard_id"]: r["sha256"]
+          for r in WDS.export_webdataset(imgs_upto(32), out2, 4096).collect()}
+    assert len(s2) > len(s1)
+    last = max(s1)
+    for sid, digest in s1.items():
+        if sid != last:
+            assert s2[sid] == digest, sid
