@@ -64,7 +64,7 @@ _EXTRA_TOKENS = 2  # BOS + modality separator per example
 # derivation from queries/image_q.py
 _CAP_TOKS = (
     "list_filter(regexp_split_to_array(lower(caption), "
-    "'[^\\p{L}\\p_MMF_N]+'), x -> x <> '')"
+    "'[^\\p{L}\\p{N}]+'), x -> x <> '')"
 )
 
 # per-example ViT + caption token accounting, shared by both mm queries
