@@ -116,6 +116,8 @@ HEADLINE = [
     "bm25_topk",
     "tfidf_topterms",
     "domain_mixture_weights",
+    "dsir_importance_weights",
+    "dsir_resample_topk",
     "image_shard_packing",
     "crawl_polite_8waves",
     "stem_spec_vocab",

@@ -501,3 +501,223 @@ def wds_export_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style data selection via importance resampling (Xie et al. 2023):
+# hashed-ngram bag features, target-vs-raw log-likelihood-ratio weights.
+_DSIR_B = 512  # hashed feature buckets (unigrams + bigrams share the space)
+_DSIR_TARGET = "src0"  # the "high-quality target domain" stratum
+_DSIR_TOPK = 50
+
+_DSIR_H_SQL = "CAST(('0x' || substr(md5({e}),1,15)) AS BIGINT) % " + str(_DSIR_B)
+_DSIR_FEATS_SQL = f"""
+  SELECT doc_id, source, unnest(list_concat(
+    list_transform(toks, t -> {_DSIR_H_SQL.format(e='t')}),
+    CASE WHEN len(toks) > 1 THEN
+      list_transform(range(1, len(toks)),
+        i -> {_DSIR_H_SQL.format(e="toks[i] || ' ' || toks[i+1]")})
+    ELSE CAST([] AS BIGINT[]) END)) AS bucket
+  FROM (SELECT doc_id, source, {TOKS_SQL} AS toks FROM documents)
+"""
+
+
+def _dsir_feats(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, bucket): hashed unigram + bigram features, one
+    codegen projection + explode — no Python, no shuffle."""
+    b = _DSIR_B
+    h = "pmod(cast(conv(substr(md5({e}),1,15),16,10) as bigint), " + str(b) + ")"
+    bigram = "concat(__toks[i-1], ' ', __toks[i])"
+    buckets = F.expr(
+        "concat("
+        + f"  transform(__toks, t -> {h.format(e='t')}),"
+        + "  if(size(__toks) > 1,"
+        + "     transform(sequence(1, size(__toks) - 1),"
+        + f"       i -> {h.format(e=bigram)}),"
+        + "     cast(array() as array<bigint>)))"
+    )
+    return docs.withColumn("__toks", TX.tokens_of(F.lower(F.col("text")))).select(
+        "doc_id", "source", F.explode(buckets).alias("bucket")
+    )
+
+
+_DSIR_SCORES_CTES = f"""feats AS ({_DSIR_FEATS_SQL}),
+ct AS (SELECT bucket, count(*) AS c_t FROM feats
+       WHERE source = '{_DSIR_TARGET}' GROUP BY bucket),
+cr AS (SELECT bucket, count(*) AS c_r FROM feats
+       WHERE source <> '{_DSIR_TARGET}' GROUP BY bucket),
+base AS (SELECT CAST(range AS BIGINT) AS bucket FROM range({_DSIR_B})),
+counts AS (
+  SELECT b.bucket, CAST(coalesce(ct.c_t, 0) AS BIGINT) AS c_t,
+         CAST(coalesce(cr.c_r, 0) AS BIGINT) AS c_r
+  FROM base b LEFT JOIN ct ON b.bucket = ct.bucket
+              LEFT JOIN cr ON b.bucket = cr.bucket
+),
+tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS t_tot,
+               CAST(sum(c_r) AS BIGINT) AS r_tot FROM counts),
+llr AS (
+  SELECT bucket, CAST(round(1000000.0 * ln(
+           CAST((c_t + 1) * (r_tot + {_DSIR_B}) AS DOUBLE)
+           / CAST((c_r + 1) * (t_tot + {_DSIR_B}) AS DOUBLE))) AS BIGINT)
+         AS llr_micro
+  FROM counts, tot
+),
+scores AS (
+  SELECT f.doc_id, f.source, count(*) AS n_feats,
+         CAST(sum(l.llr_micro) AS BIGINT) AS score_micro
+  FROM feats f JOIN llr l ON f.bucket = l.bucket
+  WHERE f.source <> '{_DSIR_TARGET}'
+  GROUP BY f.doc_id, f.source
+)"""
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+WITH {_DSIR_SCORES_CTES}
+SELECT doc_id, source, n_feats, score_micro
+FROM scores ORDER BY score_micro DESC, doc_id ASC LIMIT {_DSIR_TOPK}
+""",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
+    every raw-pool document by how much its hashed-ngram bag looks like
+    the target domain. Features = md5-hashed unigrams+bigrams into
+    {B} buckets; bucket models are Laplace(+1)-smoothed multinomials
+    fit on the target stratum (source = src0) vs the raw pool; the
+    per-bucket log-likelihood ratio is micro-rounded ONCE (512-row
+    table), and each doc's importance weight is an exact BIGINT sum of
+    those pre-rounded llrs over its feature occurrences — order-
+    independent, so Spark and DuckDB agree bit-for-bit. Top-50 by
+    (weight desc, doc_id) = the selected training subset.
+
+    Scale: feature extraction is a projection (no Python); the bucket
+    model is a 512-row groupBy (map-side combine) → broadcast; scoring
+    is scan + broadcast-hash-join + one groupBy(doc_id) — one wide
+    shuffle total at 100 TB, and the llr table is O(B) regardless of
+    corpus size. The reference has no selection stage (it crawls
+    topically via keyword score, crawler.go:560-585); this is the
+    modern replacement that the curated corpus feeds."""
+    scores = _dsir_scores(spark, sf_dir)
+    return scores.orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    ).limit(_DSIR_TOPK)
+
+
+def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_feats, score_micro) for every raw-pool doc —
+    the shared body of the two DSIR queries (Spark twin of
+    _DSIR_SCORES_CTES)."""
+    docs = load(spark, sf_dir, "documents")
+    feats = _dsir_feats(docs)
+    b = _DSIR_B
+    ct = (
+        feats.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    cr = (
+        feats.filter(F.col("source") != _DSIR_TARGET)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_r"))
+    )
+    base = spark.range(b).select(F.col("id").alias("bucket"))
+    counts = (
+        base.join(F.broadcast(ct), "bucket", "left")
+        .join(F.broadcast(cr), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("c_t"), F.lit(0)).cast("long").alias("c_t"),
+            F.coalesce(F.col("c_r"), F.lit(0)).cast("long").alias("c_r"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("c_t").cast("long").alias("t_tot"),
+        F.sum("c_r").cast("long").alias("r_tot"),
+    )
+    llr = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.lit(1000000.0)
+            * F.log(
+                ((F.col("c_t") + 1) * (F.col("r_tot") + b)).cast("double")
+                / ((F.col("c_r") + 1) * (F.col("t_tot") + b)).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("llr_micro"),
+    )
+    return (
+        feats.filter(F.col("source") != _DSIR_TARGET)
+        .join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("llr_micro").cast("long").alias("score_micro"),
+        )
+    )
+
+
+@register(
+    "dsir_resample_topk",
+    f"""
+WITH {_DSIR_SCORES_CTES},
+keyed AS (
+  SELECT doc_id, source, score_micro,
+         CAST(round(1000000.0 * -ln(-ln(
+           (CAST(('0x' || substr(md5('dsir#' || CAST(doc_id AS VARCHAR)),1,15))
+              AS BIGINT) % 1000000 + 0.5) / 1000000.0))) AS BIGINT)
+         AS gumbel_micro
+  FROM scores
+)
+SELECT doc_id, source, score_micro, gumbel_micro,
+       score_micro + gumbel_micro AS key_micro
+FROM keyed ORDER BY key_micro DESC, doc_id ASC LIMIT {_DSIR_TOPK}
+""",
+)
+def dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's resampling step: sample k docs WITHOUT replacement with
+    probability ∝ exp(importance weight) via the Gumbel-top-k trick —
+    key = score + Gumbel(0,1), take the k largest keys. The Gumbel
+    noise is deterministic (u from md5('dsir#'||doc_id) in (0,1),
+    g = -ln(-ln(u))) so runs, engines, and partitionings all agree;
+    both score and noise live in micro-nats so the key is an exact
+    BIGINT sum of two pre-rounded BIGINTs.
+
+    Scale: adds one stateless projection + the same TakeOrderedAndProject
+    to the scoring plan — per-doc noise needs no shuffle, no RNG state,
+    and no driver coordination, which is why Gumbel-top-k (not
+    df.sample + weights) is the 100 TB-safe way to draw a weighted
+    training subset."""
+    scores = _dsir_scores(spark, sf_dir)
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dsir#"), F.col("doc_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
+    keyed = scores.select(
+        "doc_id",
+        "source",
+        "score_micro",
+        F.round(F.lit(1000000.0) * -F.log(-F.log(u))).cast("long").alias(
+            "gumbel_micro"
+        ),
+    )
+    return keyed.select(
+        "doc_id",
+        "source",
+        "score_micro",
+        "gumbel_micro",
+        (F.col("score_micro") + F.col("gumbel_micro")).alias("key_micro"),
+    ).orderBy(F.col("key_micro").desc(), F.col("doc_id").asc()).limit(_DSIR_TOPK)

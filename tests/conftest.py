@@ -32,3 +32,29 @@ def spark():
 
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def session_confs(s, overrides: dict):
+    """Snapshot-and-restore runtime SQL confs around a module's tests.
+
+    getOrCreate() reuses the session-wide SparkSession when one is
+    alive and silently applies builder SQL confs onto it — so a module
+    fixture that sets e.g. autoBroadcastJoinThreshold=-1 via builder
+    configs leaks that conf into every later module (it broke
+    test_plans' broadcast-shape assertions). Module fixtures must set
+    runtime confs through this guard instead."""
+    saved = {k: s.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        s.conf.set(k, v)
+    try:
+        yield s
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                s.conf.unset(k)
+            else:
+                s.conf.set(k, v)

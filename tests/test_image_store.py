@@ -4,7 +4,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from gocrawler_spark.operators import inference as INF
-from gocrawler_spark.plans.bucketed import apply_confs
 from gocrawler_spark.plans.image_store import ImageStore
 from gocrawler_spark.sources import synthetic_images as SI
 
@@ -13,18 +12,27 @@ from gocrawler_spark.sources import synthetic_images as SI
 def spark(tmp_path_factory):
     from pyspark.sql import SparkSession
 
+    from gocrawler_spark.plans.bucketed import CONFS
+    from tests.conftest import session_confs
+
     wh = str(tmp_path_factory.mktemp("warehouse"))
-    b = (
+    s = (
         SparkSession.builder.master("local[4]")
-        .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", wh)
-        # emulate the 100 TB case: enrichment tables too big to
-        # broadcast, so the join must use the co-bucketed SMJ path
-        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .getOrCreate()
     )
-    s = apply_confs(b).getOrCreate()
-    yield s
+    overrides = dict(CONFS)
+    overrides.update(
+        {
+            "spark.sql.shuffle.partitions": "8",
+            # emulate the 100 TB case: enrichment tables too big to
+            # broadcast, so the join must use the co-bucketed SMJ path
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+    )
+    with session_confs(s, overrides):
+        yield s
 
 
 def _images(spark, n=40):

@@ -16,16 +16,23 @@ from gocrawler_spark.sources import synthetic_images as SI
 
 @pytest.fixture(scope="module")
 def spark():
+    from tests.conftest import session_confs
+
     s = (
         SparkSession.builder.master("local[4]")
-        .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
-        # tiny Arrow batches: forces the harness to accumulate ACROSS
-        # them to reach the device batch size
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
         .getOrCreate()
     )
-    yield s
+    with session_confs(
+        s,
+        {
+            "spark.sql.shuffle.partitions": "8",
+            # tiny Arrow batches: forces the harness to accumulate
+            # ACROSS them to reach the device batch size
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "7",
+        },
+    ):
+        yield s
 
 
 def test_probe_fixture_matches_naive_and_vectorized():

@@ -78,3 +78,17 @@ def test_image_shard_packing_drops_payload_before_shuffle(spark):
     assert m is not None, plan
     assert "bytes" not in m.group(0).split("MapInPandas")[0], m.group(0)
     assert any("doc_id" in p and "300" in p for p in _pushed(plan)), plan
+
+
+def test_dsir_broadcasts_model_and_prunes_scan(spark):
+    plan = _plan(spark, "dsir_importance_weights")
+    # the 512-row llr model and the bucket-count dims join as
+    # broadcasts — the corpus-sized feature relation never sort-merges
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    # top-50 by (weight, doc_id) is a TakeOrderedAndProject
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"Sort .*global=true", plan)
+    # scans read only the columns the features need
+    for s in _read_schemas(plan):
+        assert len(s.split(",")) <= 3, s

@@ -24,22 +24,26 @@ from pyspark.sql import functions as F
 
 @pytest.fixture(scope="module")
 def skew_spark():
+    from tests.conftest import session_confs
+
     s = (
         SparkSession.builder.master("local[4]")
-        .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-        .config(
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-            "65536",
-        )
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
-        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
         .getOrCreate()
     )
-    yield s
+    with session_confs(
+        s,
+        {
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        yield s
 
 
 def test_aqe_splits_hot_key_join_and_results_match(skew_spark):
