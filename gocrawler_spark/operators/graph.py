@@ -117,12 +117,27 @@ def opic_waves(
     (asserted in tests). ``edges`` must carry (src, dst, slot) with
     slot = 1..out_degree(src) and ``n_slots`` = out_degree(src).
 
+    Sink pages (nodes with NO outgoing edge rows — normal in a real
+    link graph) spend their cash into the paper's virtual page, which
+    redistributes it uniformly: every node receives
+    ``sink_cash DIV n_nodes`` and the division remainder
+    (< n_nodes micro-units) goes to the lowest node id — a
+    deterministic, integer-exact policy, so total cash stays conserved
+    to the unit on ANY graph, not just all-nodes-have-outlinks ones.
+
     Scale shape per wave: one broadcast-free equi-join edges⋈cash on
     src (shuffle keyed by int64), one groupBy dst — 16 bytes/row of
-    state; ``waves`` is small and fixed. Nodes with no inlinks hold
-    zero cash rows via the left join back to ``nodes``."""
+    state — plus an anti-join and two 1-row broadcast dims for the
+    virtual-page redistribution; ``waves`` is small and fixed. Nodes
+    with no inlinks hold zero cash rows via the left join back to
+    ``nodes``."""
     cash = nodes.select("node", F.lit(cash0_micro).cast("long").alias("cash"))
     history = nodes.select("node", F.lit(0).cast("long").alias("hist"))
+    srcs = edges.select(F.col("src").alias("node")).distinct()
+    ndim = nodes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("node").alias("min_node"),
+    )
     for _ in range(waves):
         contrib = (
             edges.join(cash, edges["src"] == cash["node"])
@@ -139,13 +154,32 @@ def opic_waves(
             )
         )
         recv = contrib.groupBy("dst").agg(F.sum("share").alias("recv"))
+        # virtual page: collect the cash of sink nodes (no out-edges)
+        # for uniform redistribution this same wave
+        sink = cash.join(srcs, "node", "left_anti").agg(
+            F.coalesce(F.sum("cash"), F.lit(0)).cast("long").alias("sink_cash")
+        )
         history = (
             history.join(cash, "node")
             .select("node", (F.col("hist") + F.col("cash")).alias("hist"))
         )
         cash = (
             nodes.join(recv, nodes["node"] == recv["dst"], "left")
-            .select("node", F.coalesce(F.col("recv"), F.lit(0)).cast("long").alias("cash"))
+            .crossJoin(F.broadcast(sink))
+            .crossJoin(F.broadcast(ndim))
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("recv"), F.lit(0))
+                    + F.expr("sink_cash DIV n_nodes")
+                    + F.when(
+                        F.col("node") == F.col("min_node"),
+                        F.col("sink_cash") - F.col("n_nodes") * F.expr("sink_cash DIV n_nodes"),
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("cash"),
+            )
         )
     return (
         history.join(cash, "node")

@@ -465,27 +465,33 @@ def multimodal_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id string, luma_milli long, contrast_milli long, "
         "lapvar_milli long, score_milli long",
     )
+    # caption word count straight from documents — the caption IS
+    # substr(text, 1, 64) (images_from_documents) and image_id IS
+    # str(doc_id), so reading it through `imgs` again would trigger a
+    # SECOND full render/encode materialization just for a text
+    # column, defeating this query's own one-decode-per-payload point.
+    # (The oracle derives wc the same way.)
     wc = F.size(
         F.filter(
-            F.split(F.trim(F.col("caption")), " "), lambda x: x != ""
+            F.split(F.trim(F.substring("text", 1, 64)), " "),
+            lambda x: x != "",
         )
     )
-    caps = imgs.select("image_id", wc.alias("wc"))
-    from gocrawler_spark.queries.image_q import (
-        BLUR_MILLI,
-        BRIGHT_MILLI,
-        DARK_MILLI,
-        FLAT_MILLI,
-        KEEP_PROBE_MILLI,
+    caps = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _MMF_N)
+        .select(F.col("doc_id").cast("string").alias("image_id"), wc.alias("wc"))
     )
-
+    # thresholds: the SAME _MMF_* aliases the SQL oracle interpolates —
+    # a second import set under different names could desynchronize
+    # oracle and engine silently
     reason = (
         F.when(F.col("wc") < MMF_WC_FLOOR, "caption_short")
-        .when(F.col("luma_milli") < DARK_MILLI, "dark")
-        .when(F.col("luma_milli") > BRIGHT_MILLI, "bright")
-        .when(F.col("contrast_milli") < FLAT_MILLI, "flat")
-        .when(F.col("lapvar_milli") < BLUR_MILLI, "blurry")
-        .when(F.col("score_milli") < KEEP_PROBE_MILLI, "low_score")
+        .when(F.col("luma_milli") < _MMF_DARK, "dark")
+        .when(F.col("luma_milli") > _MMF_BRIGHT, "bright")
+        .when(F.col("contrast_milli") < _MMF_FLAT, "flat")
+        .when(F.col("lapvar_milli") < _MMF_BLUR, "blurry")
+        .when(F.col("score_milli") < _MMF_KEEP, "low_score")
         .otherwise("pass")
         .alias("reason")
     )

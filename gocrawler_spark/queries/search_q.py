@@ -444,6 +444,9 @@ def image_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from gocrawler_spark.queries.image_q import N_DOCS  # noqa: E402
+
+
 @register(
     "wds_export_stats",
     f"""
@@ -456,7 +459,7 @@ WITH dims AS (
              CASE WHEN doc_id % 5 = 1 AND doc_id > 0
                   THEN 16 + ((doc_id - 1) * 7) % 49
                   ELSE 16 + (doc_id * 7) % 49 END AS h
-  FROM documents WHERE doc_id < 300
+  FROM documents WHERE doc_id < {N_DOCS}
 ),
 spans AS (
   SELECT iid, fmt, cap_bytes,
@@ -611,25 +614,19 @@ def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     feats = _dsir_feats(docs)
     b = _DSIR_B
-    ct = (
-        feats.filter(F.col("source") == _DSIR_TARGET)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c_t"))
-    )
-    cr = (
-        feats.filter(F.col("source") != _DSIR_TARGET)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c_r"))
+    # BOTH bucket models from ONE tokenize+hash pass (conditional
+    # sums), not two separate filtered groupBys — at 100 TB the corpus
+    # scan is the cost, so the model fit is one pass and the scoring
+    # join below is the only other one.
+    both = feats.groupBy("bucket").agg(
+        F.sum((F.col("source") == _DSIR_TARGET).cast("long")).alias("c_t"),
+        F.sum((F.col("source") != _DSIR_TARGET).cast("long")).alias("c_r"),
     )
     base = spark.range(b).select(F.col("id").alias("bucket"))
-    counts = (
-        base.join(F.broadcast(ct), "bucket", "left")
-        .join(F.broadcast(cr), "bucket", "left")
-        .select(
-            "bucket",
-            F.coalesce(F.col("c_t"), F.lit(0)).cast("long").alias("c_t"),
-            F.coalesce(F.col("c_r"), F.lit(0)).cast("long").alias("c_r"),
-        )
+    counts = base.join(F.broadcast(both), "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("c_t"), F.lit(0)).cast("long").alias("c_t"),
+        F.coalesce(F.col("c_r"), F.lit(0)).cast("long").alias("c_r"),
     )
     tot = counts.agg(
         F.sum("c_t").cast("long").alias("t_tot"),

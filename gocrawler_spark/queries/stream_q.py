@@ -25,8 +25,6 @@ tests/test_streaming.py).
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,14 +49,58 @@ from gocrawler_spark.streaming import image_stream as IS
 N_BATCH_FILES = 4
 
 
-def _fresh_scratch(name: str) -> str:
-    """Fixed per-query scratch dir, cleared at query start (the
-    returned frame reads the final state lazily, so cleanup-at-next-
-    start is the invariant — same convention as queries/warc_q.py)."""
-    d = os.path.join(tempfile.gettempdir(), f"gocrawler_spark_{name}")
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d)
-    return d
+from gocrawler_spark.queries.warc_q import _fresh_scratch  # noqa: E402
+
+
+def _land_defective_images(spark, sf_dir: str, landing: str) -> None:
+    """Land the payload table into ``landing`` as N_BATCH_FILES parquet
+    files with the deterministic defect injection every streaming-
+    ingest oracle in this module assumes: every 13th id's payload is
+    corrupted (decode must fail), and captions are rewritten to the
+    id-derived reference (the crawl-source convention the stream
+    validator checks, not the documents-derived one). ONE definition on
+    purpose — three queries and their closed-form oracles share the
+    13-modulus invariant, so the injection rule must not fork."""
+    import pandas as pd
+
+    imgs = images_from_documents(spark, sf_dir)
+
+    def prep(batches):
+        from gocrawler_spark.sources.synthetic_web import _sentence, h64
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = int(r.image_id)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        # corrupt every 13th payload: decode must fail
+                        "bytes": b"\x00garbage"
+                        if d % 13 == 0
+                        else bytes(r.bytes),
+                        "w": r.w,
+                        "h": r.h,
+                        "fmt": r.fmt,
+                        "caption": _sentence(
+                            h64(r.image_id, "cap", seed=42), 12, 4, 3
+                        ),
+                        "phash": r.phash,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                ],
+            )
+
+    (
+        imgs.mapInPandas(prep, IM.IMAGE_SCHEMA)
+        .repartition(N_BATCH_FILES, "image_id")
+        .write.mode("overwrite")
+        .parquet(landing)
+    )
 
 
 @register(
@@ -144,54 +186,11 @@ def streaming_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads and pixel-mismatched twins must land in the quarantine,
     everything else in the committed table, across N incremental
     foreachBatch commits (one per landed file)."""
-    import pandas as pd
-
     scratch = _fresh_scratch("stream_img_q")
     landing = os.path.join(scratch, "landing")
     state = os.path.join(scratch, "state")
     ckpt = os.path.join(scratch, "ckpt")
-
-    imgs = images_from_documents(spark, sf_dir)
-
-    def prep(batches):
-        from gocrawler_spark.sources.synthetic_web import _sentence, h64
-
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                d = int(r.image_id)
-                rows.append(
-                    {
-                        "image_id": r.image_id,
-                        # corrupt every 13th payload: decode must fail
-                        "bytes": b"\x00garbage"
-                        if d % 13 == 0
-                        else bytes(r.bytes),
-                        "w": r.w,
-                        "h": r.h,
-                        "fmt": r.fmt,
-                        # the stream validator checks captions against
-                        # the id-derived reference (the crawl-source
-                        # convention), not the documents-derived one
-                        "caption": _sentence(
-                            h64(r.image_id, "cap", seed=42), 12, 4, 3
-                        ),
-                        "phash": r.phash,
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-                ],
-            )
-
-    (
-        imgs.mapInPandas(prep, IM.IMAGE_SCHEMA)
-        .repartition(N_BATCH_FILES, "image_id")
-        .write.mode("overwrite")
-        .parquet(landing)
-    )
+    _land_defective_images(spark, sf_dir, landing)
 
     stream = (
         spark.readStream.schema(IM.IMAGE_SCHEMA)
@@ -352,48 +351,11 @@ def streaming_scored_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     score table must contain exactly the accepted rows with the
     fixture-pinned probe scores — quarantined rows (corrupt payloads,
     pixel-mismatched twins) must never be scored."""
-    import pandas as pd
-
     scratch = _fresh_scratch("stream_scored_q")
     landing = os.path.join(scratch, "landing")
     state = os.path.join(scratch, "state")
     ckpt = os.path.join(scratch, "ckpt")
-
-    imgs = images_from_documents(spark, sf_dir)
-
-    def prep(batches):
-        from gocrawler_spark.sources.synthetic_web import _sentence, h64
-
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                d = int(r.image_id)
-                rows.append(
-                    {
-                        "image_id": r.image_id,
-                        "bytes": b"\x00garbage" if d % 13 == 0 else bytes(r.bytes),
-                        "w": r.w,
-                        "h": r.h,
-                        "fmt": r.fmt,
-                        "caption": _sentence(
-                            h64(r.image_id, "cap", seed=42), 12, 4, 3
-                        ),
-                        "phash": r.phash,
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-                ],
-            )
-
-    (
-        imgs.mapInPandas(prep, IM.IMAGE_SCHEMA)
-        .repartition(N_BATCH_FILES, "image_id")
-        .write.mode("overwrite")
-        .parquet(landing)
-    )
+    _land_defective_images(spark, sf_dir, landing)
 
     stream = (
         spark.readStream.schema(IM.IMAGE_SCHEMA)
@@ -457,50 +419,13 @@ def image_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is proven three ways (row count, id sum, fixture-pinned phash sum
     mod 1e12); the file-count drop itself is asserted in
     tests/test_image_stream.py where it's deterministic."""
-    import pandas as pd
-
     from gocrawler_spark.plans import image_store as IST
 
     scratch = _fresh_scratch("stream_compact_q")
     landing = os.path.join(scratch, "landing")
     state = os.path.join(scratch, "state")
     ckpt = os.path.join(scratch, "ckpt")
-
-    imgs = images_from_documents(spark, sf_dir)
-
-    def prep(batches):
-        from gocrawler_spark.sources.synthetic_web import _sentence, h64
-
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                d = int(r.image_id)
-                rows.append(
-                    {
-                        "image_id": r.image_id,
-                        "bytes": b"\x00garbage" if d % 13 == 0 else bytes(r.bytes),
-                        "w": r.w,
-                        "h": r.h,
-                        "fmt": r.fmt,
-                        "caption": _sentence(
-                            h64(r.image_id, "cap", seed=42), 12, 4, 3
-                        ),
-                        "phash": r.phash,
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-                ],
-            )
-
-    (
-        imgs.mapInPandas(prep, IM.IMAGE_SCHEMA)
-        .repartition(N_BATCH_FILES, "image_id")
-        .write.mode("overwrite")
-        .parquet(landing)
-    )
+    _land_defective_images(spark, sf_dir, landing)
     stream = (
         spark.readStream.schema(IM.IMAGE_SCHEMA)
         .option("maxFilesPerTrigger", 1)

@@ -65,9 +65,14 @@ def block_digest(payload: bytes) -> str:
 
 
 def build_record(
-    url: str, fetch_ts: int, content_type: str, payload: bytes
+    url: str, fetch_ts: int, content_type: str, payload: bytes,
+    digest: str | None = None,
 ) -> bytes:
-    """One ``resource`` record, byte-deterministic for fixed inputs."""
+    """One ``resource`` record, byte-deterministic for fixed inputs.
+    Pass ``digest`` (a ``block_digest`` result) when the caller already
+    hashed the payload — write_warc computes it once per row for the
+    CDX column, and sha1-ing multi-MB payloads twice is real money on
+    the durable-log write path."""
     date = _iso(fetch_ts)
     rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}|{date}")
     head = (
@@ -76,7 +81,7 @@ def build_record(
         f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
         f"WARC-Date: {date}\r\n"
         f"WARC-Target-URI: {url}\r\n"
-        f"WARC-Block-Digest: {block_digest(payload)}\r\n"
+        f"WARC-Block-Digest: {digest if digest is not None else block_digest(payload)}\r\n"
         f"Content-Type: {content_type}\r\n"
         f"Content-Length: {len(payload)}\r\n"
         "\r\n"
@@ -215,6 +220,7 @@ def write_warc(
                         int(r.fetch_ts),
                         str(r.content_type),
                         payload,
+                        digest=digest,
                     )
                 )
                 rtypes.append("resource")

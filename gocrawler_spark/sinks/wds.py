@@ -25,6 +25,7 @@ budget, and the stats output is one row per shard.
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import os
 from typing import Iterator
@@ -79,7 +80,8 @@ def export_webdataset(
     """Write the image table as WebDataset tar shards; returns one
     stats row per shard (shard_id, n_members, tar_bytes, sha256,
     path). The returned frame is lazy — collecting it performs the
-    export."""
+    export — except for stale-shard cleanup, which runs eagerly at
+    plan-build time (see below)."""
     from gocrawler_spark.operators.prefix import exclusive_prefix_sum
 
     os.makedirs(out_dir, exist_ok=True)
@@ -91,6 +93,23 @@ def export_webdataset(
     asg = spans.select(
         "iid", F.expr(f"start_off div {shard_bytes}").alias("shard_id")
     )
+    # stale-shard hygiene: a previous export into the same dir may have
+    # produced MORE shards than this table does; the overwrite below
+    # only touches shards 0..max, so retired tails would survive and
+    # ghost back in through read_webdataset's wds-*.tar glob. The
+    # shard count is metadata-only (prefix sum over (iid, px) — no
+    # payload bytes), so resolve it eagerly here and delete everything
+    # past it before the payload-bearing export runs. Append-only
+    # re-exports (a superset table) are unaffected: their max shard id
+    # only grows, and surviving shards are rewritten byte-identically.
+    max_sid = asg.agg(F.max("shard_id")).first()[0]
+    for p in glob.glob(os.path.join(out_dir, "wds-*.tar")):
+        try:
+            sid = int(os.path.basename(p)[4:-4])
+        except ValueError:
+            continue
+        if max_sid is None or sid > max_sid:
+            os.remove(p)
     rows = images.select(
         F.col("image_id").cast("long").alias("iid"), "bytes", "fmt", "caption"
     ).join(asg, "iid")

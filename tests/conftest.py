@@ -11,11 +11,19 @@ from pyspark.sql import SparkSession
 
 @pytest.fixture(scope="session")
 def spark():
+    from gocrawler_spark.plans.bucketed import apply_confs
+
     # fresh warehouse per test session: the in-memory catalog forgets
     # managed tables across JVMs, and saveAsTable refuses to reuse a
     # leftover table directory it no longer knows about
     wh = tempfile.mkdtemp(prefix="spark_wh_")
-    s = (
+    # bucketed-table CONFS are applied session-wide from the start —
+    # the bucketed frontier / image store constructors set them anyway
+    # (they only affect bucketed-table planning), and applying them
+    # uniformly here removes the test-ORDER dependence of whichever
+    # store-building test would otherwise mutate the shared session
+    # first (bench.py's session applies them the same way)
+    s = apply_confs(
         SparkSession.builder.master("local[4]")
         .appName("gocrawler-spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
@@ -24,8 +32,7 @@ def spark():
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
         .config("spark.sql.warehouse.dir", wh)
-        .getOrCreate()
-    )
+    ).getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()

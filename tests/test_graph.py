@@ -72,3 +72,31 @@ def test_opic_cash_conservation_and_hand_computed(spark):
     assert (out[1]["history_micro"], out[1]["cash_micro"]) == (13, 4)
     assert (out[2]["history_micro"], out[2]["cash_micro"]) == (23, 9)
     assert sum(r["cash_micro"] for r in out.values()) == 27  # conserved
+
+
+def test_opic_sink_cash_redistributed_and_conserved(spark):
+    """A sink node (no out-edges) spends into the virtual page, whose
+    cash is redistributed uniformly with the division remainder going
+    to the lowest node id — total cash stays conserved on graphs the
+    all-nodes-have-outlinks queries never exercise."""
+    from gocrawler_spark.operators.graph import opic_waves
+
+    # 0 -> 1, 1 -> 2, 2 is a sink; 3 nodes, cash0 = 10 each
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1, 1, 1), (1, 2, 1, 1)],
+        "src long, dst long, slot int, n_slots int",
+    )
+    out = {
+        r["node"]: r
+        for r in opic_waves(nodes, edges, waves=2, cash0_micro=10).collect()
+    }
+    # wave1: 0 sends 10 to 1; 1 sends 10 to 2; sink 2 banks 10 into
+    # the virtual page -> base 10 DIV 3 = 3 each, remainder 1 to node 0
+    #   cash: 0 -> 0+3+1=4, 1 -> 10+3=13, 2 -> 10+3=13 ; total 30
+    # wave2: 0 sends 4; 1 sends 13; sink 2 banks 13 -> 4 each, rem 1 to 0
+    #   cash: 0 -> 0+4+1=5, 1 -> 4+4=8, 2 -> 13+4=17 ; total 30
+    assert (out[0]["cash_micro"], out[1]["cash_micro"], out[2]["cash_micro"]) == (5, 8, 17)
+    assert sum(r["cash_micro"] for r in out.values()) == 30
+    # history banks every wave's pre-distribution cash, sinks included
+    assert out[2]["history_micro"] == 10 + 13

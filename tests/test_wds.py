@@ -102,3 +102,34 @@ def test_incremental_append_only_rewrites_tail_shard(spark, tmp_path):
     for sid, digest in s1.items():
         if sid != last:
             assert s2[sid] == digest, sid
+
+
+def test_reexport_smaller_set_removes_stale_tail_shards(spark, tmp_path):
+    """Re-exporting a SMALLER table into the same dir must delete the
+    retired tail shards — otherwise read_webdataset's wds-*.tar glob
+    resurrects rows from the previous, larger export."""
+    out = str(tmp_path / "wds_shrink")
+
+    def table(n):
+        rows = []
+        for d in range(n):
+            w, h = 16 + d % 9, 16 + d % 7
+            px = SI.render_pixels(str(d), w, h)
+            rows.append((str(d), SI.encode_png(px), w, h, "png", f"c{d}", 0))
+        return spark.createDataFrame(
+            rows,
+            "image_id string, bytes binary, w int, h int, fmt string, "
+            "caption string, phash long",
+        )
+
+    big = WDS.export_webdataset(table(30), out, shard_bytes=4096).collect()
+    small = WDS.export_webdataset(table(12), out, shard_bytes=4096).collect()
+    assert len(small) < len(big)
+    back = WDS.read_webdataset(spark, out)
+    assert sorted(r["iid"] for r in back.collect()) == list(range(12))
+    # append-only direction still byte-stable: re-exporting the big
+    # table again reproduces the original shard digests exactly
+    big2 = WDS.export_webdataset(table(30), out, shard_bytes=4096).collect()
+    assert sorted(r["sha256"] for r in big2) == sorted(
+        r["sha256"] for r in big
+    )
