@@ -123,17 +123,21 @@ def opic_waves(
     ``sink_cash DIV n_nodes`` and the division remainder
     (< n_nodes micro-units) goes to the lowest node id — a
     deterministic, integer-exact policy, so total cash stays conserved
-    to the unit on ANY graph, not just all-nodes-have-outlinks ones.
+    to the unit on ANY graph whose edge dsts are all in ``nodes`` (the
+    standing contract — a dst outside ``nodes`` silently drops cash in
+    the join back, with or without sinks). The sink amount is derived
+    by conservation (total − sum of delivered shares), not by a second
+    pass over the cash table.
 
     Scale shape per wave: one broadcast-free equi-join edges⋈cash on
     src (shuffle keyed by int64), one groupBy dst — 16 bytes/row of
-    state — plus an anti-join and two 1-row broadcast dims for the
-    virtual-page redistribution; ``waves`` is small and fixed. Nodes
-    with no inlinks hold zero cash rows via the left join back to
-    ``nodes``."""
+    state — plus two 1-row broadcast dims for the virtual-page
+    redistribution; the new cash table is localCheckpoint'ed per wave
+    so lineage stays linear in ``waves`` (same discipline as
+    resolve_chains). Nodes with no inlinks hold zero cash rows via the
+    left join back to ``nodes``."""
     cash = nodes.select("node", F.lit(cash0_micro).cast("long").alias("cash"))
     history = nodes.select("node", F.lit(0).cast("long").alias("hist"))
-    srcs = edges.select(F.col("src").alias("node")).distinct()
     ndim = nodes.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.min("node").alias("min_node"),
@@ -154,10 +158,19 @@ def opic_waves(
             )
         )
         recv = contrib.groupBy("dst").agg(F.sum("share").alias("recv"))
-        # virtual page: collect the cash of sink nodes (no out-edges)
-        # for uniform redistribution this same wave
-        sink = cash.join(srcs, "node", "left_anti").agg(
-            F.coalesce(F.sum("cash"), F.lit(0)).cast("long").alias("sink_cash")
+        # virtual-page cash BY CONSERVATION, not a second pass over
+        # `cash`: total circulating cash is invariant at
+        # n_nodes * cash0 (this very redistribution maintains it), so
+        # sink cash = total - what the edges delivered. This keeps each
+        # wave's plan referencing the previous cash exactly ONCE — an
+        # anti-join variant would double the cash subtree per wave
+        # (O(2^waves) lineage).
+        sink = recv.agg(
+            F.coalesce(F.sum("recv"), F.lit(0)).cast("long").alias("r_sum")
+        ).crossJoin(F.broadcast(ndim)).select(
+            (F.col("n_nodes") * F.lit(cash0_micro) - F.col("r_sum"))
+            .cast("long")
+            .alias("sink_cash")
         )
         history = (
             history.join(cash, "node")
@@ -180,6 +193,12 @@ def opic_waves(
                 .cast("long")
                 .alias("cash"),
             )
+            # truncate lineage per wave (same discipline as
+            # resolve_chains): the recv aggregate feeds BOTH the sink
+            # scalar and the per-node join, and history snapshots every
+            # wave's cash — without a checkpoint the recompute tree
+            # still doubles per wave
+            .localCheckpoint(eager=True)
         )
     return (
         history.join(cash, "node")

@@ -79,9 +79,22 @@ def export_webdataset(
 ) -> DataFrame:
     """Write the image table as WebDataset tar shards; returns one
     stats row per shard (shard_id, n_members, tar_bytes, sha256,
-    path). The returned frame is lazy — collecting it performs the
-    export — except for stale-shard cleanup, which runs eagerly at
-    plan-build time (see below)."""
+    path).
+
+    This is an ACTION, like ``df.write``: the export job runs inside
+    this call and the returned frame is a small local stats table (one
+    row per shard). Running eagerly is what makes stale-shard hygiene
+    sound — after the write, any ``wds-*.tar`` whose shard id is NOT
+    in the produced set is deleted (a previous export of a larger or
+    differently-laid-out table would otherwise leave shards behind
+    that ghost back in through read_webdataset's glob). Cleanup
+    happens strictly AFTER the new shards are on disk, so an export
+    that fails mid-job never deletes anything, and the shard-id set
+    comes from the job's own output — no extra pass over the payload
+    pipeline, and interior shard-id gaps (a single payload larger than
+    ``shard_bytes`` skips ids) are handled, not just the tail.
+    Append-only re-exports (a superset table) rewrite surviving shards
+    byte-identically."""
     from gocrawler_spark.operators.prefix import exclusive_prefix_sum
 
     os.makedirs(out_dir, exist_ok=True)
@@ -93,23 +106,6 @@ def export_webdataset(
     asg = spans.select(
         "iid", F.expr(f"start_off div {shard_bytes}").alias("shard_id")
     )
-    # stale-shard hygiene: a previous export into the same dir may have
-    # produced MORE shards than this table does; the overwrite below
-    # only touches shards 0..max, so retired tails would survive and
-    # ghost back in through read_webdataset's wds-*.tar glob. The
-    # shard count is metadata-only (prefix sum over (iid, px) — no
-    # payload bytes), so resolve it eagerly here and delete everything
-    # past it before the payload-bearing export runs. Append-only
-    # re-exports (a superset table) are unaffected: their max shard id
-    # only grows, and surviving shards are rewritten byte-identically.
-    max_sid = asg.agg(F.max("shard_id")).first()[0]
-    for p in glob.glob(os.path.join(out_dir, "wds-*.tar")):
-        try:
-            sid = int(os.path.basename(p)[4:-4])
-        except ValueError:
-            continue
-        if max_sid is None or sid > max_sid:
-            os.remove(p)
     rows = images.select(
         F.col("image_id").cast("long").alias("iid"), "bytes", "fmt", "caption"
     ).join(asg, "iid")
@@ -137,10 +133,20 @@ def export_webdataset(
             }
         )
 
-    return rows.groupBy("shard_id").applyInPandas(
-        build,
-        "shard_id long, n_members long, tar_bytes long, sha256 string, path string",
+    schema = (
+        "shard_id long, n_members long, tar_bytes long, sha256 string,"
+        " path string"
     )
+    stats = rows.groupBy("shard_id").applyInPandas(build, schema).collect()
+    produced = {int(r["shard_id"]) for r in stats}
+    for p in glob.glob(os.path.join(out_dir, "wds-*.tar")):
+        try:
+            sid = int(os.path.basename(p)[4:-4])
+        except ValueError:
+            continue
+        if sid not in produced:
+            os.remove(p)
+    return images.sparkSession.createDataFrame(stats, schema)
 
 
 def read_webdataset(spark: SparkSession, in_dir: str) -> DataFrame:
