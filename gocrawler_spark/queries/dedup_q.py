@@ -735,8 +735,14 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing as ann_lsh_buckets), then each bucket scores its own
     all-pairs cosine inside ONE applyInPandas task (numpy, Arrow
     batches) — no pair shuffle, no crossJoin; only (vec, bucket) rows
-    move. Scale: bucket size bounds the quadratic term (more planes →
-    smaller buckets); the scaled-integer rounding matches DuckDB
+    move. Scale: the quadratic term is bounded by bucket size, and
+    with the oracle-shared 8 planes the key space is fixed at 256
+    buckets — so buckets grow linearly with the corpus and each is one
+    task. The scale path is more planes (the plane matrix is the
+    shared constant both engines derive, so raising N_PLANES keeps
+    parity — at the cost of recall, since near-dups must agree on
+    every plane sign); beyond that, the banded-pigeonhole scheme of
+    image_phash LSH. The scaled-integer rounding matches DuckDB
     bit-for-bit (see _round_half_away)."""
     import numpy as np
     import pandas as pd

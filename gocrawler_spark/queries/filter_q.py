@@ -197,7 +197,11 @@ def oov_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= _VOCAB_MIN)
     )
-    j = toks.join(F.broadcast(vocab), "token", "left")
+    # NOT broadcast-hinted: the >=min-count vocabulary grows with the
+    # corpus (1e9+ types at web scale — the same reason tfidf_topterms
+    # keeps its df join a shuffle join); at test SF the planner
+    # auto-broadcasts it anyway, at scale it must be free to shuffle.
+    j = toks.join(vocab, "token", "left")
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tok"),
         (F.count(F.lit(1)) - F.count("cnt")).alias("n_oov"),

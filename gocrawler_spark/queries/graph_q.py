@@ -145,7 +145,12 @@ edges AS (
 def _opic_step_sql(prev: str, out: str) -> str:
     """One OPIC wave as SQL: distribute each node's cash over its two
     edge slots (slot 1 takes cash // 2, the last slot absorbs the
-    remainder — conservation to the unit), then re-collect per dst."""
+    remainder — conservation to the unit), re-collect per dst, and
+    mirror the engine's virtual-page redistribution (sink cash BY
+    CONSERVATION = total − delivered, spread uniformly with the
+    remainder to the lowest node) — zero for this query's
+    out-degree-2 graph, but stated so oracle and engine cannot
+    diverge on a graph whose ids ever stop being 0..n-1."""
     return f"""
 d_{out} AS (
   SELECT e.dst AS node,
@@ -153,9 +158,20 @@ d_{out} AS (
                   ELSE c.cash - (e.n_slots - 1) * (c.cash // e.n_slots)
              END) AS recv
   FROM edges e JOIN {prev} c ON c.node = e.src GROUP BY e.dst),
+s_{out} AS (
+  SELECT CAST((SELECT c FROM nn) * {OPIC_CASH0}
+              - COALESCE((SELECT SUM(recv) FROM d_{out}), 0) AS BIGINT)
+         AS sink),
 {out} AS (
-  SELECT nodes.node, CAST(COALESCE(d_{out}.recv, 0) AS BIGINT) AS cash
-  FROM nodes LEFT JOIN d_{out} ON nodes.node = d_{out}.node)"""
+  SELECT nodes.node,
+         CAST(COALESCE(d_{out}.recv, 0)
+              + s.sink // (SELECT c FROM nn)
+              + CASE WHEN nodes.node = (SELECT min(node) FROM nodes)
+                     THEN s.sink
+                          - (SELECT c FROM nn)
+                            * (s.sink // (SELECT c FROM nn))
+                     ELSE 0 END AS BIGINT) AS cash
+  FROM nodes LEFT JOIN d_{out} ON nodes.node = d_{out}.node, s_{out} s)"""
 
 
 @register(

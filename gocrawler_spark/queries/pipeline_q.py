@@ -428,10 +428,6 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _SPAN_K = 8  # tokens per exact-dup span (Lee et al. use 50 BPE tokens;
 #              8 whitespace words keeps the testdata non-degenerate)
-# winner key = doc_id * 2^31 + span position: one BIGINT, unique per
-# occurrence, and min() over it IS "earliest (doc_id, pos)" — docs are
-# far below 2^31 tokens so the packing never collides.
-_SPAN_KEY_STRIDE = 2_147_483_648
 
 
 @register(
@@ -444,15 +440,14 @@ WITH w AS (
 ),
 s AS (
   SELECT doc_id, i - 1 AS pos,
-         array_to_string(W[i:i+{_SPAN_K - 1}], ' ') AS span,
-         doc_id * {_SPAN_KEY_STRIDE} + (i - 1) AS k
+         array_to_string(W[i:i+{_SPAN_K - 1}], ' ') AS span
   FROM (SELECT doc_id, W, unnest(range(1, len(W) - {_SPAN_K} + 2)) AS i
         FROM w WHERE len(W) >= {_SPAN_K})
 ),
-win AS (SELECT span, min(k) AS wkey FROM s GROUP BY span),
+win AS (SELECT span, min(ROW(doc_id, pos)) AS wk FROM s GROUP BY span),
 dup AS (
   SELECT s.doc_id, s.pos FROM s JOIN win ON s.span = win.span
-  WHERE s.k <> win.wkey
+  WHERE s.doc_id <> win.wk[1] OR s.pos <> win.wk[2]
 ),
 isl AS (
   SELECT doc_id, pos,
@@ -523,11 +518,20 @@ def span_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "span"),
     )
-    key = F.col("doc_id") * F.lit(_SPAN_KEY_STRIDE) + F.col("pos")
-    win = spans.groupBy("span").agg(F.min(key).alias("wkey"))
+    # winner = lexicographic min of (doc_id, pos) as a STRUCT, not an
+    # arithmetic doc_id * 2^31 + pos key: the packed key overflows
+    # int64 once doc_id >= 2^32 (well inside the 1e10-doc target),
+    # silently electing a late occurrence in Spark and erroring in
+    # DuckDB. Struct min orders lexicographically in both engines.
+    win = spans.groupBy("span").agg(
+        F.min(F.struct("doc_id", "pos")).alias("wk")
+    )
     dup = (
         spans.join(win, "span")
-        .filter(key != F.col("wkey"))
+        .filter(
+            (F.col("doc_id") != F.col("wk.doc_id"))
+            | (F.col("pos") != F.col("wk.pos"))
+        )
         .select("doc_id", "pos")
     )
     wd = Window.partitionBy("doc_id").orderBy("pos")

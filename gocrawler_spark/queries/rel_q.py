@@ -415,7 +415,12 @@ def events_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-join (p x v per user) expansion, which is quadratic in
     events-per-user at 100 TB. Ordering kind after ts makes a view at
     the exact purchase instant eligible, matching ASOF's >= bound;
-    (user, ts) pairs are unique in the table, so the pick is total."""
+    (user, ts) pairs are unique in the generated table; the window
+    additionally orders by view_ref so that if duplicates ever appear,
+    the engine's pick is still total and deterministic (highest
+    event_id among same-instant views) rather than partition-order
+    luck — DuckDB's ASOF makes its own arbitrary pick in that case, so
+    the oracle comparison still leans on the uniqueness invariant."""
     ev = load(spark, sf_dir, "events")
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id",
@@ -436,7 +441,7 @@ def events_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = views.unionByName(purchases)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "kind")
+        .orderBy("ts", "kind", F.col("view_ref").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged.select(

@@ -445,6 +445,9 @@ def image_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from gocrawler_spark.queries.image_q import N_DOCS  # noqa: E402
+from gocrawler_spark.queries.image_q import wh_case_sql  # noqa: E402
+
+_WH_CASE = wh_case_sql("doc_id")
 
 
 @register(
@@ -454,11 +457,7 @@ WITH dims AS (
   SELECT doc_id AS iid,
          CASE WHEN doc_id % 3 = 0 THEN 'qjpg' ELSE 'png' END AS fmt,
          strlen(substr(text, 1, 64)) AS cap_bytes,
-         CASE WHEN doc_id % 5 = 1 AND doc_id > 0
-                  THEN 16 + (doc_id - 1) % 49 ELSE 16 + doc_id % 49 END AS w,
-             CASE WHEN doc_id % 5 = 1 AND doc_id > 0
-                  THEN 16 + ((doc_id - 1) * 7) % 49
-                  ELSE 16 + (doc_id * 7) % 49 END AS h
+         {_WH_CASE}
   FROM documents WHERE doc_id < {N_DOCS}
 ),
 spans AS (

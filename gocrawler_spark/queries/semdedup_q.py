@@ -38,8 +38,14 @@ partitions × K × 64 tiny rows; the model update is a K×64 driver
 collect — legitimately driver-sized, like the IVF probe lists. No
 per-(vector, centroid) shuffle ever materializes. The final per-cluster
 pair scan is the same bucket-bounded applyInPandas shape as
-`embedding_cosine_near_dups`; at 1e10 vectors K grows to keep clusters
-bucket-sized (SemDeDup used ~100k clusters for LAION).
+`embedding_cosine_near_dups` — and shares its honest scale limit: K
+here is a module constant the unrolled SQL oracle interpolates, so it
+does NOT grow with the corpus, and each of the K clusters lands in ONE
+task whose memory and O(g^2) pair work grow with corpus/K. The 1e10
+path (SemDeDup used ~100k clusters for LAION) needs K scaled with the
+data and the greedy in-cluster scan replaced by a sub-bucketed pass —
+a deliberate non-goal for the oracle-gated query, which pins the
+2-iteration Lloyd's algebra, not the deployment geometry.
 """
 
 from __future__ import annotations

@@ -192,7 +192,12 @@ def write_warc(
     os.makedirs(out_dir, exist_ok=True)
 
     def write_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("url")
+        # (url, fetch_ts) + mergesort: a fetch log may hold the same
+        # URL twice (re-crawls, revisit planning), and a url-only
+        # unstable sort would make record order — and therefore the
+        # segment bytes and CDX offsets — depend on shuffle arrival
+        # order, breaking the byte-determinism contract
+        pdf = pdf.sort_values(["url", "fetch_ts"], kind="mergesort")
         sid = int(pdf["seg"].iloc[0])
         name = f"seg-{sid:05d}.warc" + (".gz" if compress else "")
         first_ts = int(pdf["fetch_ts"].iloc[0])

@@ -205,17 +205,23 @@ def domain_quota_stream(docs: DataFrame, quota: int) -> DataFrame:
 
     def fn(key, pdfs, state):
         (used,) = state.get if state.exists else (0,)
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("url")
+        # accumulate EVERY Arrow chunk before sorting: pdfs yields the
+        # group in arrival-ordered chunks, so a chunk-local sort+take
+        # would admit from whichever urls happened to land in the
+        # first chunk — nondeterministic for any domain bigger than
+        # one Arrow batch (~10k rows default). Same accumulate-first
+        # discipline as content_dedup_stream below; memory is bounded
+        # by the domain's rows in ONE micro-batch (3 string columns).
+        parts = [pdf[["domain", "url", "signature"]] for pdf in pdfs]
+        take = None
+        if parts:
+            allp = pd.concat(parts, ignore_index=True).sort_values("url")
             room = max(0, quota - used)
-            take = pdf.head(room)
-            used += len(pdf)
-            if len(take):
-                out.append(take[["domain", "url", "signature"]])
+            take = allp.head(room)
+            used += len(allp)
         state.update((used,))
-        if out:
-            yield pd.concat(out, ignore_index=True)
+        if take is not None and len(take):
+            yield take
 
     with_domain = docs.withColumn(
         "domain",

@@ -115,6 +115,20 @@ def image_upsert(state_path: str, psnr_floor: float = 40.0, score: bool = False)
         }
         if batch_id <= man["batch_id"]:
             return  # replayed batch — already committed
+        # a crawl fleet can land the same image_id twice in one
+        # trigger's file set; joining the raw batch with its own
+        # validation output on image_id would then multiply k arrivals
+        # into k² committed rows. Admit ONE row per image_id first,
+        # deterministically (lowest payload md5 — content-addressed,
+        # so the pick is independent of file/partition arrival order).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("image_id").orderBy(F.md5("bytes"), "fmt")
+        batch = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         v = streaming_validate(batch, psnr_floor=psnr_floor).select(
             "image_id", "accepted", "psnr_db"
         )
