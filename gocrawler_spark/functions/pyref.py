@@ -135,15 +135,18 @@ def ranking_by_keywords(text: str, cfg: CrawlConfig) -> float:
 
 def best_paragraph(paragraphs: list[str], cfg: CrawlConfig) -> str:
     """bestParagraph — crawler.go:583-599 (strict >, first wins ties;
-    truncate to 1996 chars + ' ...')."""
+    truncate to 1996 BYTES + ' ...' — Go len()/slicing count bytes)."""
     best, best_score = "", 0.0
     for p in paragraphs:
         s = ranking_by_keywords(p, cfg)
         if s > best_score:
             best_score = s
             best = p
-    if len(best) > 2000:
-        best = best[:1996] + " ..."
+    b = best.encode("utf-8")
+    if len(b) > 2000:
+        # byte slice like Go best[:1996]; surrogateescape round-trips a
+        # mid-rune cut byte-exactly
+        best = b[:1996].decode("utf-8", "surrogateescape") + " ..."
     return best
 
 

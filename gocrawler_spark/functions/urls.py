@@ -77,7 +77,12 @@ def canonicalize(url: Column) -> Column:
         F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
         F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1),
     )
-    u = F.regexp_replace(u, r"^(https?://[^/:]+):(?:80|443)(/|$)", r"$1$2")
+    # default ports are scheme-specific: 80 is only default for http
+    # and 443 only for https — a scheme-agnostic strip would conflate
+    # e.g. https://h:80 (a distinct origin) with https://h in the
+    # seen-set key
+    u = F.regexp_replace(u, r"^(http://[^/:]+):80(/|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:]+):443(/|$)", r"$1$2")
     return u
 
 

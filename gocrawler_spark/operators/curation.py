@@ -45,7 +45,8 @@ def curate_docs(
     Gate parity notes:
     - the html-attr drop (P1) tests the ORIGINAL paragraph
       (crawler.go:1172), not the scrubbed one;
-    - paragraph 200 gate is CHARACTER length (crawler.go:1195);
+    - paragraph 200 gate is BYTE length — Go len() counts bytes
+      (crawler.go:1195), so is the 2000/1996 best-paragraph truncation;
     - curated content carries a LEADING newline per kept paragraph
       (crawler.go:1209: curated = curated + "\n" + p);
     - bestParagraph runs over post-scrub/ratio-floor paragraphs,
@@ -72,7 +73,7 @@ def curate_docs(
         .withColumn(
             "kept2",
             F.col("kept1")
-            & (F.length("p5") >= 200)
+            & (F.octet_length("p5") >= 200)
             & (F.col("ratio") >= 0.1)
             & (F.col("ratio") <= 0.38),
         )
@@ -118,8 +119,18 @@ def curate_docs(
         .withColumn(
             "best_paragraph",
             F.when(
-                F.length("best_paragraph_raw") > 2000,
-                F.concat(F.substring("best_paragraph_raw", 1, 1996), F.lit(" ...")),
+                F.octet_length("best_paragraph_raw") > 2000,
+                F.concat(
+                    # byte slice, like Go's best[:1996] — substring on
+                    # BINARY cuts bytes; the cast back to string is
+                    # zero-copy, so a mid-rune cut keeps the raw bytes
+                    # exactly as the reference would
+                    F.expr(
+                        "cast(substring(cast(best_paragraph_raw as binary),"
+                        " 1, 1996) as string)"
+                    ),
+                    F.lit(" ..."),
+                ),
             ).otherwise(F.col("best_paragraph_raw")),
         )
         .withColumn("doc_len", TX.tokens_count(F.col("curated")))
@@ -152,6 +163,24 @@ def doc_gates(
             .alias("count"),
             t.alias("token"),
         ),
+    )
+    # Go's `fDoc["the"] = 0` INSERTS the key when absent (map
+    # assignment), so every doc's frequency table carries a ("the", 0)
+    # entry even if the token never occurs — and with < 7 distinct
+    # tokens that entry reaches the signature. Mirror the insertion
+    # (pyoracle.py:222 does the same).
+    tc = F.when(
+        F.array_contains(F.col("_toks"), F.lit("the")), tc
+    ).otherwise(
+        F.concat(
+            tc,
+            F.array(
+                F.struct(
+                    F.lit(0).cast("int").alias("count"),
+                    F.lit("the").alias("token"),
+                )
+            ),
+        )
     )
     df = df.withColumn("_tc", tc)
     df = df.withColumn("signature", TX.signature_expr(F.col("_tc"), k=7))

@@ -205,15 +205,28 @@ def merge_into_frontier(
     if bloom is not None:
         from gocrawler_spark.operators import bloom as B
 
-        probably_seen, definitely_new = B.split_candidates(
-            bloom, cand, n_shards=n_shards
+        # pin cand first: it is consumed twice below (probe-semi and the
+        # definitely_new anti-join), and recomputing it means re-running
+        # the wave's link explode + groupBy.
+        cand = pin(cand)
+        hits = (
+            B.probe(bloom, cand, n_shards=n_shards)
+            .filter(F.col("maybe_seen"))
+            .select("url")
         )
         # probably_seen is consumed twice (count-update probe + FP anti-join)
-        # — pin it so the bloom probe runs once, then broadcast only while
-        # it is actually small: true dups + FPR·new is wave-bounded in the
-        # normal case, but a dup-heavy wave can exceed the broadcast limit,
-        # so fall through to the join planner (AQE) above the threshold.
-        probably_seen = pin(probably_seen)
+        # — pin it so the bloom probe runs ONCE. definitely_new is then the
+        # anti-join against the PINNED seen set, not split_candidates'
+        # plan: the latter re-references the unpinned probe, so its later
+        # materialization would run the cogroup probe a second time.
+        # Broadcast only while probably_seen is actually small: true dups
+        # + FPR·new is wave-bounded in the normal case, but a dup-heavy
+        # wave can exceed the broadcast limit, so fall through to the
+        # join planner (AQE) above the threshold.
+        probably_seen = pin(cand.join(hits, "url", "left_semi"))
+        definitely_new = cand.join(
+            probably_seen.select("url"), "url", "left_anti"
+        )
         if probably_seen.count() <= broadcast_max_rows:
             probe = F.broadcast(probably_seen)
         else:
@@ -257,6 +270,7 @@ def select_wave(
     domain_counter: DataFrame,
     wave_size: int,
     per_host_budget: int,
+    broadcast_counter: bool = True,
 ) -> DataFrame:
     """getNextLink generalized to waves (F7/F8).
 
@@ -270,11 +284,21 @@ def select_wave(
     Scale mode: a per-host ranking window caps each host at
     `per_host_budget` (politeness + skew control — one hot host cannot
     monopolize a wave), then a global TakeOrderedAndProject picks the
-    wave. domain_counter is tiny (one row per host) → broadcast join.
+    wave. domain_counter is one row per host: broadcast-hinted by
+    default (it is what keeps the bucketed wave plan Exchange-free),
+    but one-row-per-host is NOT small at every scale — a 1e10-URL
+    frontier can span 1e8+ hosts, where a forced broadcast is a
+    driver/executor OOM. Past that point pass
+    ``broadcast_counter=False`` (the planner/AQE picks the join; the
+    100 TB layout co-locates the counter in the same domain bucketing
+    as the frontier so the join needs no new Exchange either way).
     """
     pending = frontier.filter((F.col("status") == 0) & F.col("eligible") | (F.col("status") == 4))
+    counter = (
+        F.broadcast(domain_counter) if broadcast_counter else domain_counter
+    )
     scored = (
-        pending.join(F.broadcast(domain_counter), "domain", "left")
+        pending.join(counter, "domain", "left")
         .withColumn(
             "priority",
             (F.col("count") * F.col("count")).cast("double")

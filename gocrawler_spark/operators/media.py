@@ -94,7 +94,12 @@ def audio_features(audio: DataFrame, window: int = 512, seed: int = 42) -> DataF
                     zc = float(np.mean(np.abs(np.diff(np.signbit(samples))))) if len(x) > 1 else 0.0
                     rows.append((r.audio_id, True, exact, n_win,
                                  round(rms * 1000), round(zc * 1000)))
-                except NotImplementedError:
+                except Exception:  # noqa: BLE001 — any undecodable payload is
+                    # a per-row verdict (valid=False), never a
+                    # stage kill: truncated RIFF/rawv raise
+                    # ValueError/struct.error, unknown fmt raises
+                    # KeyError, stubbed codecs NotImplementedError
+                    # (same contract as images.validate_images)
                     rows.append((r.audio_id, False, False, 0, 0, 0))
             yield pd.DataFrame(
                 rows,
@@ -134,7 +139,12 @@ def video_features(video: DataFrame, frame_stride: int = 2, seed: int = 42) -> D
                     )
                     rows.append((r.video_id, True, exact, len(sampled),
                                  round(luma_mean * 1000), round(motion * 1000)))
-                except NotImplementedError:
+                except Exception:  # noqa: BLE001 — any undecodable payload is
+                    # a per-row verdict (valid=False), never a
+                    # stage kill: truncated RIFF/rawv raise
+                    # ValueError/struct.error, unknown fmt raises
+                    # KeyError, stubbed codecs NotImplementedError
+                    # (same contract as images.validate_images)
                     rows.append((r.video_id, False, False, 0, 0, 0))
             yield pd.DataFrame(
                 rows,

@@ -160,10 +160,21 @@ def sitemap_candidates(
     firsts = ok.groupBy("url").agg(
         # min, not first: two hosts' sitemaps can declare the same URL
         # (www/apex mirrors) and first() is partition-order-dependent —
-        # the synthetic parent (hash of domain) must be deterministic
-        F.min("domain").alias("domain"),
+        # the synthetic parent (hash of the declaring host) must be
+        # deterministic
+        F.min("domain").alias("decl_host"),
         F.max("priority_milli").alias("priority_milli"),
         F.max("lastmod_ts").alias("lastmod_ts"),
+    ).withColumn(
+        # frontier invariant: url DETERMINES domain (candidate_links
+        # emits domain_of(url); the bucketed merge joins on
+        # (domain, url) relying on it). A sitemap may declare URLs on
+        # ANOTHER host (cross-host submission, subdomains) — keying
+        # the frontier row on the declaring host would duplicate the
+        # row when the same url later arrives through links, and
+        # charge politeness to the wrong host. The declaring host
+        # keeps its role only as the deterministic parent-seq seed.
+        "domain", U.domain_of(F.col("url"))
     )
     w = Window.partitionBy("domain").orderBy(
         F.col("priority_milli").desc(),
@@ -175,7 +186,7 @@ def sitemap_candidates(
         "domain",
         F.lit(1).cast("long").alias("delta"),
         F.struct(
-            F.xxhash64("domain").alias("parent_seq"),
+            F.xxhash64("decl_host").alias("parent_seq"),
             F.row_number().over(w).alias("pos"),
         ).alias("first_at"),
     )

@@ -207,7 +207,7 @@ class ReferenceOracle:
 
         curated = ""
         for p in paragraphs:
-            if len(p) < 200:  # CHARACTER length (crawler.go:1195)
+            if len(p.encode("utf-8")) < 200:  # BYTE length (Go len, crawler.go:1195)
                 continue
             ratio = pyref.stopwords_count(p, cfg) / (pyref.tokens_count(p) + 1)
             if ratio < 0.1 or ratio > 0.38:

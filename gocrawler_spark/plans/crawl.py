@@ -166,6 +166,11 @@ class CrawlEngine:
         self.with_images = with_images
         self.use_bloom = use_bloom
         self.bloom_shards = bloom_shards
+        # current per-shard Bloom capacity: every filter that gets
+        # OR-merged must share geometry, so the regrow guard
+        # (_maybe_regrow_bloom) bumps this and all later wave filters
+        # are built to match
+        self._bloom_cap = 200_000
         self.use_robots = use_robots
         self.wave_budget_ms = wave_budget_ms
         self.robots_fn = robots_fn
@@ -273,7 +278,7 @@ class CrawlEngine:
                 BL.build(
                     FR.bootstrap_frontier(s, self.cfg).select("url"),
                     n_shards=self.bloom_shards,
-                    expected_keys_per_shard=200_000,
+                    expected_keys_per_shard=self._bloom_cap,
                     fpr=self.cfg.bloom_fpr,
                 )
                 if self.use_bloom
@@ -422,19 +427,26 @@ class CrawlEngine:
                     st.robots, sel, wave, robots_fn=self.robots_fn, seed=cfg.seed
                 )
             )
+            gated = PO.robots_gate(sel, st.robots)
+            # the budget window ranks ONLY robots-allowed rows: a
+            # refusal consumes zero crawl-delay time, so letting
+            # disallowed rows occupy politeness_rank slots would defer
+            # allowed URLs a host could legally fetch this wave — with
+            # continually minted disallowed URLs outranking them, that
+            # deferral can starve indefinitely
             g = PO.token_budget_cap(
-                PO.robots_gate(sel, st.robots), wave_budget_ms=self.wave_budget_ms
+                gated.filter(F.col("robots_allowed")),
+                wave_budget_ms=self.wave_budget_ms,
             )
             # disallowed -> refused (status 3, no fetch); over-budget ->
             # deferred (stay pending, compete again next wave)
-            blocked_urls = self._pin(
-                g.filter(~F.col("robots_allowed")).select("url")
-            )
+            blocked = gated.filter(~F.col("robots_allowed"))
+            blocked_urls = self._pin(blocked.select("url"))
             sel = self._pin(
-                g.filter(F.col("robots_allowed") & F.col("within_budget")).select(
+                g.filter(F.col("within_budget")).select(
                     "url", "domain", "count", "status", "seq", "priority", "sel_rank"
                 ).unionByName(
-                    g.filter(~F.col("robots_allowed")).select(
+                    blocked.select(
                         "url", "domain", "count", "status", "seq", "priority", "sel_rank"
                     )
                 )
@@ -455,6 +467,10 @@ class CrawlEngine:
         # ---- fetch stage (S1-S3): cache anti-join + politeness ----
         cached = sel.join(st.pages.select("url", "content", "links", "ok"), "url")
         to_fetch = sel.join(st.pages.select("url"), "url", "left_anti")
+        # fail_counts is one row per FAILING host — orders of magnitude
+        # smaller than the host universe (and bounded by max_domain_failures
+        # hosts that actually errored), so the hint stays safe where the
+        # full domain_counter's would not (see select_wave's knob)
         refused = to_fetch.join(
             F.broadcast(
                 st.fail_counts.filter(F.col("n_failed") > cfg.max_domain_failures)
@@ -667,15 +683,62 @@ class CrawlEngine:
                     BL.build(
                         cand.select("url"),
                         n_shards=self.bloom_shards,
-                        expected_keys_per_shard=200_000,
+                        expected_keys_per_shard=self._bloom_cap,
                         fpr=cfg.bloom_fpr,
                     ),
                 )
             )
         if self.compact_every and wave % self.compact_every == 0:
             self._compact()
+            if self.use_bloom:
+                self._maybe_regrow_bloom()
         self._gc_pins()
         return True
+
+    def _maybe_regrow_bloom(self) -> None:
+        """Geometry guard for the accumulated seen-set filter
+        (north_rule FPR promise): per-wave candidate filters are built
+        at a fixed expected_keys_per_shard and OR-merged, so the bit
+        arrays never grow while cumulative keys do — past capacity the
+        bits saturate and FPR degrades toward 1 SILENTLY, collapsing
+        split_candidates into all-probably-seen (correct but the
+        accelerator is gone, plus a wasted probe per wave).
+
+        n_keys per shard is an upper bound on inserted keys (merge
+        sums both sides, duplicates included). Checked at compaction
+        cadence: past 60% of the geometry's design capacity, the
+        filter is REBUILT from the frontier's URLs — the authoritative
+        seen set, so the no-false-negative invariant is restored
+        exactly — with per-shard capacity sized 4x the measured load.
+        Cost: one build job every compact_every waves at worst;
+        amortized O(1) rebuilds per capacity doubling."""
+        import math
+
+        st = self.state
+        row = st.bloom.agg(
+            F.sum("n_keys").alias("keys"), F.max("m_bits").alias("m")
+        ).first()
+        if row is None or row["keys"] is None:
+            return
+        total_keys, m_bits = int(row["keys"]), int(row["m"])
+        # invert bloom.geometry: the n this m was sized for at cfg.fpr
+        cap_per_shard = m_bits * (math.log(2) ** 2) / -math.log(
+            self.cfg.bloom_fpr
+        )
+        if total_keys <= 0.6 * cap_per_shard * self.bloom_shards:
+            return
+        new_cap = max(
+            self._bloom_cap, int(total_keys * 4 / self.bloom_shards) + 1
+        )
+        self._bloom_cap = new_cap
+        st.bloom = self._pin(
+            BL.build(
+                st.frontier.select("url"),
+                n_shards=self.bloom_shards,
+                expected_keys_per_shard=new_cap,
+                fpr=self.cfg.bloom_fpr,
+            )
+        )
 
     def checkpoint(self) -> None:
         """Commit a snapshot: flush pending delta segments, rewrite
@@ -766,7 +829,7 @@ class CrawlEngine:
                 BL.build(
                     st.frontier.select("url"),
                     n_shards=eng.bloom_shards,
-                    expected_keys_per_shard=200_000,
+                    expected_keys_per_shard=eng._bloom_cap,
                     fpr=cfg.bloom_fpr,
                 )
             )

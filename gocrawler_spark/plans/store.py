@@ -127,6 +127,34 @@ class TableStore:
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, os.path.join(self.root, MANIFEST))  # commit point
+        # snapshot GC (AFTER the commit point, so a crash never loses a
+        # committed dir): full-mode tables write a fresh wave-labelled
+        # dir every checkpoint, and without cleanup every superseded
+        # snapshot leaks — frontier-sized, once per wave. Keep the dirs
+        # the NEW manifest names plus the previous manifest's (a lazy
+        # plan created from the previous snapshot may not have
+        # materialized yet); everything older is unreachable by any
+        # reader and removed.
+        import shutil
+
+        keep = set()
+        for src in (manifest, prev):
+            for entry in src.get("tables", {}).values():
+                if entry.get("mode") == "full":
+                    for s in entry["segments"]:
+                        keep.add(os.path.abspath(s["path"]))
+        for name, entry in manifest["tables"].items():
+            if entry.get("mode") != "full":
+                continue
+            tdir = os.path.join(self.root, name)
+            if not os.path.isdir(tdir):
+                continue
+            for label in os.listdir(tdir):
+                if not label.startswith("wave="):
+                    continue
+                p = os.path.abspath(os.path.join(tdir, label))
+                if p not in keep:
+                    shutil.rmtree(p, ignore_errors=True)
         return manifest
 
     # -- read -----------------------------------------------------------

@@ -148,3 +148,22 @@ def test_checkpointed_optional_tables_roundtrip(spark, tmp_path):
     assert eng_b.state.images.count() == n_img
     assert eng_b.state.robots.count() == n_rob
     assert eng_b.state.bloom.count() == 8
+
+
+def test_checkpoint_snapshot_dirs_are_garbage_collected(spark, tmp_path):
+    """Full-mode snapshot dirs from superseded checkpoints must be
+    removed at commit (keeping current + previous) — otherwise a
+    frontier-sized parquet copy leaks per wave."""
+    import os
+
+    from gocrawler_spark.plans.store import TableStore
+
+    store = TableStore(str(tmp_path / "st"))
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    for wave in range(1, 5):
+        store.commit(wave, {"tbl": df})
+    labels = sorted(os.listdir(str(tmp_path / "st" / "tbl")))
+    assert labels == ["wave=000003", "wave=000004"]
+    # the committed snapshot is intact and loadable
+    _, tables = store.load_snapshot(spark)
+    assert tables["tbl"].count() == 5

@@ -162,3 +162,54 @@ def test_stop_decomposition_equivalent_to_fullmatch(spark):
     df = spark.createDataFrame([Row(t=text)])
     got = df.select(T.analyzed_tokens(F.col("t"), cfg).alias("a")).first()["a"]
     assert got == expected
+
+
+def test_doc_gates_forces_the_entry_when_absent(spark):
+    """Go's ``fDoc["the"] = 0`` INSERTS the key (crawler.go:1231), so a
+    doc with < 7 distinct tokens and no literal 'the' still carries
+    ("the", 0) into its signature — pyoracle.py:222 mirrors the insert
+    and the engine must too."""
+    from gocrawler_spark.config import test_profile
+    from gocrawler_spark.operators.curation import doc_gates
+
+    cfg = test_profile()
+    curated = spark.createDataFrame(
+        [
+            Row(
+                url="u1",
+                curated="alpha beta beta gamma",
+                doc_len=4,
+            ),
+            Row(url="u2", curated="the alpha the", doc_len=3),
+        ]
+    )
+    out = {r["url"]: r["signature"] for r in doc_gates(curated, cfg).collect()}
+    # pyref ground truth: beta(2) first, count-1 ties token-desc, then
+    # the forced ("the", 0) tail
+    assert out["u1"] == pyref.signature_of(
+        {"alpha": 1, "beta": 2, "gamma": 1, "the": 0}
+    )
+    assert out["u1"].endswith(" the]")
+    # literal 'the' present: zeroed in place, no duplicate entry
+    assert out["u2"] == pyref.signature_of({"alpha": 1, "the": 0})
+
+
+def test_paragraph_200_gate_counts_bytes_not_chars(spark):
+    """Go ``len(p) < 200`` counts BYTES (crawler.go:1195): a 195-char /
+    209-byte paragraph (multibyte accents) passes the reference's gate
+    and must pass the engine's — a character-length gate would drop
+    it."""
+    from gocrawler_spark.config import test_profile
+    from gocrawler_spark.operators.curation import curate_docs
+
+    base = (
+        "the café étude of données and the résumé analyse of the "
+        "qualité numérique review shows the détail méthode criteria "
+        "and the préparation of the matériel résultats in the étude "
+        "review of the données"
+    )
+    assert len(base) < 200 <= len(base.encode("utf-8"))
+    out = curate_docs(
+        spark.createDataFrame([Row(url="u", content=base)]), test_profile()
+    ).first()
+    assert out["n_paragraphs_kept"] == 1

@@ -105,3 +105,30 @@ def test_canonicalize(spark):
     assert got[1] == "https://example.com/page"
     assert got[2] == "https://example.com/x"
     assert got[3] == "https://example.com:8080/x"
+
+
+def test_canonicalize_default_ports_are_scheme_specific(spark):
+    """:80 strips only from http, :443 only from https — the cross
+    pairs are DISTINCT origins and must keep distinct seen-set keys."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(u="http://h.example:80/x"),
+        Row(u="https://h.example:443/x"),
+        Row(u="https://h.example:80/x"),
+        Row(u="http://h.example:443/x"),
+        Row(u="http://h.example:8080/x"),
+    ]
+    got = [
+        r["c"]
+        for r in spark.createDataFrame(rows)
+        .select(U.canonicalize(F.col("u")).alias("c"))
+        .collect()
+    ]
+    assert got == [
+        "http://h.example/x",
+        "https://h.example/x",
+        "https://h.example:80/x",
+        "http://h.example:443/x",
+        "http://h.example:8080/x",
+    ]
