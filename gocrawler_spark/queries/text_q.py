@@ -187,9 +187,7 @@ def _bpe_merges(spark: SparkSession, sf_dir: str):
     return m
 
 
-_BPE_FIX = os.path.join(
-    os.path.dirname(os.path.dirname(__file__)), "fixtures"
-)
+from gocrawler_spark.fixtures import fixture_path as _fx
 # The oracle is a pinned fixture computed by the NAIVE reference BPE
 # (oracle/bpe_naive.py — full pair recount per merge, O(len^2) encode;
 # algorithmically independent of operators/bpe.py's incremental
@@ -203,12 +201,12 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(n_words AS BIGINT) AS n_words,
        CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
        CAST(n_chars_in_words AS BIGINT) AS n_chars_in_words
-FROM read_csv('{os.path.join(_BPE_FIX, "bpe_stats_sf0001.csv")}', header=true)
+FROM read_csv('{_fx("bpe_stats_sf0001.csv")}', header=true)
 WHERE (SELECT sum(length(text)) FROM documents) = 153156
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), CAST(n_words AS BIGINT),
        CAST(n_bpe_tokens AS BIGINT), CAST(n_chars_in_words AS BIGINT)
-FROM read_csv('{os.path.join(_BPE_FIX, "bpe_stats_sf001.csv")}', header=true)
+FROM read_csv('{_fx("bpe_stats_sf001.csv")}', header=true)
 WHERE (SELECT sum(length(text)) FROM documents) = 149174
 """
 

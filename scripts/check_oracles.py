@@ -20,21 +20,11 @@ import hashlib
 import json
 import sys
 
-import duckdb
-
 sys.path.insert(0, "/root/repo")
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
-
-
-def canon(v):
-    if v is None:
-        return "\x00null"
-    # type-sensitive: Decimal('3') != 3 != 3.0
-    return f"{type(v).__name__}:{v!r}"
+# ONE canonicalization for both gate replicas: the pytest-level compare
+# and this hash build from the same canon, so they cannot drift
+from gocrawler_spark.queries.compare import TABLES, canon, duck_connection  # noqa: E402
 
 
 def value_hash(cols, rows):
@@ -63,12 +53,7 @@ def main():
         .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duck_connection(sf_dir)
 
     from gocrawler_spark.queries import ORACLES, QUERIES
 
@@ -78,7 +63,10 @@ def main():
         if only and name not in only:
             continue
         if name not in ORACLES:
+            # a query the driver cannot value-check is a GAP, not a skip
             report[name] = {"err": "no_oracle"}
+            n_bad += 1
+            print(f"FAIL {name}: no_oracle", flush=True)
             continue
         try:
             sdf = fn(spark, sf_dir)

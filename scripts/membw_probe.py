@@ -27,7 +27,8 @@ out of).
 Usage:
     python scripts/membw_probe.py [levels...]   # default: 1 4 8 16 32
 Prints one JSON line:
-    {"levels": {"1": gbps, ...}, "ceiling_4x": {"4->16": r, "8->32": r}}
+    {"levels_gbps": {"1": gbps, ...},
+     "efficiency_ceiling_4x": {"4->16": r, "8->32": r}}
 """
 
 from __future__ import annotations

@@ -51,6 +51,13 @@ def main(argv=None) -> int:
     from gocrawler_spark import config as C
     from gocrawler_spark.plans.crawl import CrawlEngine
 
+    if bool(args.global_yaml) != bool(args.profile_yaml):
+        # one without the other silently fell through to the named
+        # --profile, launching a DIFFERENT config than the operator
+        # asked for — refuse instead
+        raise SystemExit(
+            "--global-yaml and --profile-yaml must be passed together"
+        )
     if args.global_yaml and args.profile_yaml:
         cfg = C.load_profile_yaml(args.global_yaml, args.profile_yaml)
         # the synthetic web only answers its own seed in this sandbox;
@@ -85,7 +92,11 @@ def main(argv=None) -> int:
     for name, df in tables.items():
         path = os.path.join(args.output, name)
         df.write.mode("overwrite").parquet(path)
-        metrics[f"{name}_rows"] = df.count()
+        # count the ARTIFACT, not the lineage: re-counting df would
+        # re-execute the crawl-state plan (roughly doubling post-crawl
+        # wall time) and could even report a different number than the
+        # files written; a parquet read counts from footers
+        metrics[f"{name}_rows"] = spark.read.parquet(path).count()
     with open(os.path.join(args.output, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=1, sort_keys=True)
     print(json.dumps(metrics))

@@ -52,3 +52,35 @@ def test_spark_submit_py_files_crawl(tmp_path):
     assert metrics["waves"] == 3
     assert metrics["frontier_rows"] > 1
     assert os.path.exists(os.path.join(out, "frontier"))
+
+
+def test_fixture_path_readable_from_pyfiles_zip(tmp_path):
+    """Fixture files must be readable when the package is imported
+    FROM THE ZIP (no repo checkout on the node): __file__-relative
+    open() cannot reach inside an archive, which is why fixtures route
+    through importlib.resources (gocrawler_spark/fixtures/__init__)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import package_pyfiles
+
+    zip_path = package_pyfiles.build(str(tmp_path / "gs.zip"))
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "from gocrawler_spark.fixtures import fixture_path; "
+        "p = fixture_path('crawl_polite_w8.csv'); "
+        "line = open(p).readline(); "
+        "assert line.startswith('url'), line; "
+        "print('OK', p)"
+    ) % zip_path
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.startswith("OK ")
+    # and the extracted path must NOT point inside the archive
+    assert ".zip" + os.sep not in r.stdout.split("OK ", 1)[1]
