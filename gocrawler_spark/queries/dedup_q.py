@@ -671,6 +671,131 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS_THRESHOLD_MICRO = 200_000  # cos >= 0.2
 
 
+_PAIR_BLOCKS = 2  # block-pair grid width (B): per-bucket O(g²) scoring
+# splits EXACTLY over B(B+1)/2 tasks; rows replicate B× — the scale
+# knob for in-bucket all-pairs work
+
+
+def _block_paired_pairs(
+    joined: DataFrame,
+    id_col: str,
+    emb_col: str,
+    nrm_fn,
+    dot_fn,
+    threshold: int,
+    out_a: str,
+    out_b: str,
+    blocks: int = _PAIR_BLOCKS,
+) -> DataFrame:
+    """EXACT all-pairs-within-bucket cosine scoring, distributed.
+
+    The naive shape (groupBy(bucket).applyInPandas over the whole
+    bucket) puts a bucket's entire O(g²) pair work — and its full
+    embedding set — in ONE task, which grows linearly in memory and
+    quadratically in work with the corpus (the LSH key space is a
+    fixed constant shared with the oracle). This driver splits it
+    without changing a single output value:
+
+    - each vector lands in block ``xxhash64(id) % B`` of its bucket;
+    - a vector in block i is shipped to every block-pair (min(i,j),
+      max(i,j)) for j in 0..B-1 — B copies per vector;
+    - task (bucket, bi, bj) scores exactly the pairs with one side in
+      bi and the other in bj (all pairs within the block when
+      bi == bj), so the union over the B(B+1)/2 tasks is every
+      in-bucket pair exactly once;
+    - the cosine kernel is symmetric (per-element products, symmetric
+      norm product), so a pair's value is bit-identical regardless of
+      which side is "a" — verified by the unchanged DuckDB oracles.
+
+    Per-task work drops to (g/B)²; B is a constant here because the
+    test buckets are tiny, and at 100 TB it is the knob that holds
+    per-task memory flat while total work stays the same O(g²) the
+    algorithm owes."""
+    import numpy as np
+    import pandas as pd
+
+    B = blocks
+    rows = (
+        joined.select(
+            "bucket",
+            F.col(id_col).alias("_id"),
+            F.col(emb_col).alias("_emb"),
+            F.pmod(
+                F.xxhash64(F.col(id_col).cast("string")), F.lit(B)
+            )
+            .cast("int")
+            .alias("_blk"),
+        )
+        .withColumn("_other", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .select(
+            "bucket",
+            "_id",
+            "_emb",
+            "_blk",
+            F.least("_blk", "_other").alias("_bi"),
+            F.greatest("_blk", "_other").alias("_bj"),
+        )
+    )
+
+    def _prep(pdf):
+        pdf = pdf.sort_values("_id")
+        X = np.array(pdf["_emb"].tolist())
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        return ids, X, nrm_fn(X)
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(key[1]), int(key[2])
+        empty = pd.DataFrame({out_a: [], out_b: [], "cos_micro": []}).astype(
+            {out_a: "int64", out_b: "int64", "cos_micro": "int64"}
+        )
+        oa, ob, oc = [], [], []
+        if bi == bj:
+            if len(pdf) < 2:
+                return empty
+            ids, X, nrm = _prep(pdf)
+            for i in range(len(ids) - 1):
+                dot = dot_fn(X[i + 1 :], X[i])
+                cos = _round_half_away(
+                    dot / np.sqrt(nrm[i].astype(np.float64) * nrm[i + 1 :]) * 1e6
+                ).astype(np.int64)
+                keep = cos >= threshold
+                oa.append(np.full(int(keep.sum()), ids[i]))
+                ob.append(ids[i + 1 :][keep])
+                oc.append(cos[keep])
+        else:
+            a_rows = pdf[pdf["_blk"] == bi]
+            b_rows = pdf[pdf["_blk"] == bj]
+            if len(a_rows) == 0 or len(b_rows) == 0:
+                return empty
+            ids_a, X_a, nrm_a = _prep(a_rows)
+            ids_b, X_b, nrm_b = _prep(b_rows)
+            for i in range(len(ids_a)):
+                dot = dot_fn(X_b, X_a[i])
+                cos = _round_half_away(
+                    dot / np.sqrt(nrm_a[i].astype(np.float64) * nrm_b) * 1e6
+                ).astype(np.int64)
+                keep = cos >= threshold
+                pb = ids_b[keep]
+                pa = np.full(len(pb), ids_a[i])
+                oa.append(np.minimum(pa, pb))
+                ob.append(np.maximum(pa, pb))
+                oc.append(cos[keep])
+        if not oa:
+            return empty
+        return pd.DataFrame(
+            {
+                out_a: np.concatenate(oa),
+                out_b: np.concatenate(ob),
+                "cos_micro": np.concatenate(oc),
+            }
+        )
+
+    return rows.groupBy("bucket", "_bi", "_bj").applyInPandas(
+        score, f"{out_a} long, {out_b} long, cos_micro long"
+    )
+
+
+
 @register(
     "embedding_cosine_near_dups",
     f"""
@@ -732,59 +857,35 @@ WHERE cos_micro >= {_COS_THRESHOLD_MICRO}
 def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-bucketed: candidate pairs
     come from the 8-plane random-hyperplane bucket equijoin (same
-    bucketing as ann_lsh_buckets), then each bucket scores its own
-    all-pairs cosine inside ONE applyInPandas task (numpy, Arrow
-    batches) — no pair shuffle, no crossJoin; only (vec, bucket) rows
-    move. Scale: the quadratic term is bounded by bucket size, and
-    with the oracle-shared 8 planes the key space is fixed at 256
-    buckets — so buckets grow linearly with the corpus and each is one
-    task. The scale path is more planes (the plane matrix is the
-    shared constant both engines derive, so raising N_PLANES keeps
-    parity — at the cost of recall, since near-dups must agree on
-    every plane sign); beyond that, the banded-pigeonhole scheme of
-    image_phash LSH. The scaled-integer rounding matches DuckDB
+    bucketing as ann_lsh_buckets), scored by the EXACT block-pair grid
+    (_block_paired_pairs): a bucket's all-pairs work is split over
+    B(B+1)/2 tasks with identical output, so per-task memory and work
+    stay flat as buckets grow with the corpus — the fixed 256-bucket
+    key space (oracle-shared planes) is no longer a single-task
+    quadratic. No pair shuffle, no crossJoin; rows replicate B× into
+    their block-pairs. The scaled-integer rounding matches DuckDB
     bit-for-bit (see _round_half_away)."""
     import numpy as np
-    import pandas as pd
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     buckets = ann_lsh_buckets(spark, sf_dir)
     joined = emb.join(buckets, "vec_id")
 
-    def score_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_micro": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "cos_micro": "int64"}
-            )
-        pdf = pdf.sort_values("vec_id")
-        X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        nrm = _round_half_away(X * X * 1e12).astype(np.int64).sum(axis=1)
-        out_a, out_b, out_c = [], [], []
-        for i in range(n - 1):
-            dot = (
-                _round_half_away(X[i + 1 :] * X[i] * 1e12)
-                .astype(np.int64)
-                .sum(axis=1)
-            )
-            cos = _round_half_away(
-                dot / np.sqrt(nrm[i].astype(np.float64) * nrm[i + 1 :]) * 1e6
-            ).astype(np.int64)
-            keep = cos >= _COS_THRESHOLD_MICRO
-            out_a.append(np.full(int(keep.sum()), ids[i]))
-            out_b.append(ids[i + 1 :][keep])
-            out_c.append(cos[keep])
-        return pd.DataFrame(
-            {
-                "vec_a": np.concatenate(out_a),
-                "vec_b": np.concatenate(out_b),
-                "cos_micro": np.concatenate(out_c),
-            }
-        )
+    def nrm_fn(X):
+        return _round_half_away(X * X * 1e12).astype(np.int64).sum(axis=1)
 
-    return joined.groupBy("bucket").applyInPandas(
-        score_bucket, "vec_a long, vec_b long, cos_micro long"
+    def dot_fn(Xs, x):
+        return _round_half_away(Xs * x * 1e12).astype(np.int64).sum(axis=1)
+
+    return _block_paired_pairs(
+        joined,
+        "vec_id",
+        "embedding",
+        nrm_fn,
+        dot_fn,
+        _COS_THRESHOLD_MICRO,
+        "vec_a",
+        "vec_b",
     )
 
 

@@ -467,11 +467,11 @@ def image_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixel-derived embedding near-dups: decode every payload, pool
     into the 16-dim integer grid-feature vector
     (operators/images.grid_feature_vector), LSH-bucket on 8 integer
-    md5-derived hyperplanes, and score each bucket's all-pairs cosine
-    inside ONE applyInPandas task. The decode + featurize stage is a
-    map (payload bytes never shuffle); only (image_id, 16xint64, bucket)
-    rows move; bucket size bounds the quadratic term exactly as in
-    embedding_cosine_near_dups.
+    md5-derived hyperplanes, and score in-bucket all-pairs cosine via
+    the exact block-pair grid (dedup_q._block_paired_pairs — output-
+    identical distribution of the quadratic work). The decode +
+    featurize stage is a map (payload bytes never shuffle); only
+    (image_id, 16xint64, bucket) rows move.
 
     Engine-exactness: features, plane weights, plane dots, pair dots
     and norms are all int64 (no rounding anywhere before the final
@@ -509,36 +509,23 @@ def image_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("bucket"),
     )
 
-    def score_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"a_id": [], "b_id": [], "cos_micro": []}).astype(
-                {"a_id": "int64", "b_id": "int64", "cos_micro": "int64"}
-            )
-        pdf = pdf.sort_values("did")
-        X = np.array(pdf["feat"].tolist(), dtype=np.int64)
-        ids = pdf["did"].to_numpy(dtype=np.int64)
-        nrm = (X * X).sum(axis=1)  # exact int64
-        out_a, out_b, out_c = [], [], []
-        for i in range(n - 1):
-            dot = (X[i + 1 :] * X[i]).sum(axis=1)  # exact int64
-            cos = _round_half_away(
-                dot / np.sqrt(nrm[i].astype(np.float64) * nrm[i + 1 :]) * 1e6
-            ).astype(np.int64)
-            keep = cos >= _IMG_COS_THRESHOLD_MICRO
-            out_a.append(np.full(int(keep.sum()), ids[i]))
-            out_b.append(ids[i + 1 :][keep])
-            out_c.append(cos[keep])
-        return pd.DataFrame(
-            {
-                "a_id": np.concatenate(out_a),
-                "b_id": np.concatenate(out_b),
-                "cos_micro": np.concatenate(out_c),
-            }
-        )
+    from gocrawler_spark.queries.dedup_q import _block_paired_pairs
 
-    return bucketed.groupBy("bucket").applyInPandas(
-        score_bucket, "a_id long, b_id long, cos_micro long"
+    def nrm_fn(X):
+        return (X * X).sum(axis=1)  # exact int64
+
+    def dot_fn(Xs, x):
+        return (Xs * x).sum(axis=1)  # exact int64
+
+    return _block_paired_pairs(
+        bucketed,
+        "did",
+        "feat",
+        nrm_fn,
+        dot_fn,
+        _IMG_COS_THRESHOLD_MICRO,
+        "a_id",
+        "b_id",
     )
 
 
