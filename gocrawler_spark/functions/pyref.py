@@ -61,13 +61,20 @@ def stopword_filter_tokens(tokens: list[str], cfg: CrawlConfig) -> list[str]:
 
 
 def analyze(text: str, cfg: CrawlConfig) -> list[str]:
-    """crawler.go:672-687: tokenize → lowercase → stopword-filter.
+    r"""crawler.go:672-687: tokenize → lowercase → stopword-filter.
 
-    (The final re-tokenize of the reference is a no-op on
-    space-joined tokens; stemming is disabled in the reference.)
-    """
+    stopwordFilter's separator doubling uses RE2's ASCII-only `\W`
+    (crawler.go:651), so a non-ASCII rune inside a token splits it
+    into ASCII fragments BEFORE the stop deletion — 'café' → 'caf'
+    (+ a length-gated tail), 'résumé' → 'r', 'sum'. Mirrored by the
+    fragment split below; the final re-tokenize of the reference is
+    then a no-op (fragments are pure ASCII alnum; stemming is
+    disabled in the reference)."""
     tokens = [t.lower() for t in tokenize(text)]
-    return stopword_filter_tokens(tokens, cfg)
+    frags = [
+        f for t in tokens for f in re.split(r"[^0-9a-z_]+", t) if f
+    ]
+    return stopword_filter_tokens(frags, cfg)
 
 
 def term_freq(text: str, cfg: CrawlConfig) -> dict[str, int]:
@@ -157,26 +164,34 @@ _WWW = re.compile(r"^www\.(.*)$")  # case-sensitive like crawler.go:294
 _SLD = re.compile(r"^.*?([^.]+\.[^.]+)$")
 
 
-def get_domain(link: str) -> str:
-    """getDomain — crawler.go:283-297 (hostname minus leading 'www.')."""
+def _hostname(link: str) -> str:
+    """Go ``url.Hostname()``: CASE-PRESERVED — ``urlparse().hostname``
+    lowercases, so the host is carved out of the case-preserving
+    ``netloc`` instead (strip userinfo, strip port)."""
     try:
-        host = urlparse(link).hostname or ""
+        netloc = urlparse(link).netloc
     except ValueError:
         return ""
-    # Python lowercases hostname; Go does not. The validator regex is
-    # case-insensitive but accepted URLs are overwhelmingly lowercase;
-    # the engine canonicalizes to lowercase **on both sides**, so the
-    # comparison stays exact (documented deviation for mixed-case hosts).
+    host = netloc.rsplit("@", 1)[-1]
+    if host.startswith("["):  # [v6]:port
+        host = host[1:].split("]", 1)[0]
+    else:
+        host = host.split(":", 1)[0]
+    return host
+
+
+def get_domain(link: str) -> str:
+    """getDomain — crawler.go:283-297: ``url.Hostname()`` minus one
+    leading (case-sensitive) 'www.'. Go does NOT lowercase the host."""
+    host = _hostname(link)
     m = _WWW.match(host)
     return m.group(1) if m else host
 
 
 def get_second_level_domain(link: str) -> str:
-    """getSecondLevelDomain — crawler.go:299-313 (no-match → unchanged)."""
-    try:
-        host = urlparse(link).hostname or ""
-    except ValueError:
-        return ""
+    """getSecondLevelDomain — crawler.go:299-313 (no-match → unchanged;
+    case-preserved like every Go host)."""
+    host = _hostname(link)
     m = _SLD.match(host)
     return m.group(1) if m else host
 
@@ -189,16 +204,22 @@ def is_banned(link: str, domain: str, cfg: CrawlConfig) -> bool:
     )
 
 
+_BAD_PCT = re.compile(r"%(?![0-9A-Fa-f]{2})")
+
+
 def link_seems_ok(link: str, avoid_custom_check: bool, cfg: CrawlConfig) -> bool:
     """linkSeemsOk — crawler.go:333-382.
 
-    Gates: length 13..256; structural regex (crawler.go:354, which
-    subsumes Go's url.ParseRequestURI for http(s) URLs); optional
-    topical regexLinkOk.
+    Gates: length 13..256; url.ParseRequestURI (crawler.go:343 — the
+    structural regex charset covers every reject EXCEPT an invalid
+    percent-escape, stated explicitly); structural regex
+    (crawler.go:354); optional topical regexLinkOk.
     """
     if len(link) < 13 or len(link) > 256:
         return False
     if not _URL_VALID.search(link):
+        return False
+    if _BAD_PCT.search(link):
         return False
     if not avoid_custom_check:
         return bool(_rx(cfg.regex_link_ok).search(link))

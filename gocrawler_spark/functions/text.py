@@ -42,8 +42,23 @@ def analyzed_tokens(text: Column, cfg: CrawlConfig) -> Column:
     (cfg.stop_token_parts): length/digit checks + an InSet probe for
     the literal words + a small residual regex — equivalent to the
     270+-way `stop_token_fullmatch` alternation but ~5x faster (the
-    alternation costs O(alternatives) backtracking per token)."""
+    alternation costs O(alternatives) backtracking per token).
+
+    ASCII fragmentation (crawler.go:651): stopwordFilter's separator
+    doubling uses RE2's `\W`, which is ASCII-only — a non-ASCII rune
+    INSIDE a token is a separator THERE even though the outer
+    tokenizer is Unicode (crawler.go:528). So 'café' fragments to
+    'caf' (the 1-char tail dies in the length gate) before the stop
+    deletion, and a fully non-Latin token vanishes. Mirrored here by
+    splitting each lowercased token on `[^0-9a-z_]+` — a no-op for
+    ASCII text (the whole test corpus), reference-exact beyond it."""
     lowered = F.transform(tokens_of(text), F.lower)
+    lowered = F.filter(
+        F.flatten(
+            F.transform(lowered, lambda t: F.split(t, "[^0-9a-z_]+"))
+        ),
+        lambda t: t != "",
+    )
     lits, residual = cfg.stop_token_parts
 
     def is_stop(t):

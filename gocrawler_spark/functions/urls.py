@@ -20,13 +20,14 @@ from gocrawler_spark.config import REGEX_URL_VALID, CrawlConfig
 
 
 def host_of(url: Column) -> Column:
-    """Lowercased hostname ('' when unparseable).
-
-    Lowercasing matches Python's ``urlparse().hostname`` (oracle side);
-    the reference keeps case but its validator is case-insensitive —
-    lowercase-on-both-sides keeps the comparison exact.
+    """Hostname, CASE-PRESERVED ('' when unparseable) — Go's
+    ``url.Hostname()`` does not lowercase (crawler.go:292), and the
+    case reaches real state: domainCounter keys (two spellings of a
+    host are two priority buckets), the case-sensitive intra-site
+    ``strings.Contains`` drop, and ban matching. The engine-level
+    seen-set canonicalizer (``canonicalize``) lowercases separately.
     """
-    return F.lower(F.coalesce(F.try_parse_url(url, F.lit("HOST")), F.lit("")))
+    return F.coalesce(F.try_parse_url(url, F.lit("HOST")), F.lit(""))
 
 
 def domain_of(url: Column) -> Column:
@@ -50,12 +51,20 @@ def is_banned(url: Column, domain: Column, cfg: CrawlConfig) -> Column:
 
 
 def link_seems_ok(url: Column, cfg: CrawlConfig, avoid_custom_check: bool) -> Column:
-    """linkSeemsOk: length 13..256 + structural regex (+ topical gate).
+    """linkSeemsOk: length 13..256 + ParseRequestURI + structural regex
+    (+ topical gate), all as column predicates (no UDF).
 
-    The structural regex (crawler.go:354) subsumes Go's
-    url.ParseRequestURI for http(s) URLs, so no UDF is needed.
-    """
-    ok = F.length(url).between(13, 256) & url.rlike(REGEX_URL_VALID)
+    The structural regex (crawler.go:354) covers most of Go's
+    url.ParseRequestURI (crawler.go:343): its charset excludes spaces,
+    control chars, '#', '[' and non-ASCII, and it anchors the scheme.
+    The ONE reject it misses is an invalid percent-escape — '%' is in
+    the charset but ParseRequestURI errors unescaping '%zz' — so that
+    check is stated explicitly."""
+    ok = (
+        F.length(url).between(13, 256)
+        & url.rlike(REGEX_URL_VALID)
+        & ~url.rlike("%(?![0-9A-Fa-f]{2})")
+    )
     if not avoid_custom_check:
         ok = ok & url.rlike(cfg.regex_link_ok)
     return ok

@@ -109,8 +109,11 @@ def fetch_missing_robots(
 
 
 def _path_of(url_col):
-    """Path component incl. leading slash ('' when absent)."""
-    return F.regexp_extract(url_col, r"^[a-z]+://[^/]+(/.*)?$", 1)
+    """Path component incl. leading slash ('' when absent). The scheme
+    match is case-insensitive — the URL validator accepts 'HTTPS://'
+    ((?i) regex), and a case-sensitive extract here would yield path ''
+    (always allowed) while the oracle's split-based path refuses."""
+    return F.regexp_extract(url_col, r"(?i)^[a-z]+://[^/]+(/.*)?$", 1)
 
 
 def robots_gate(wave: DataFrame, robots: DataFrame) -> DataFrame:

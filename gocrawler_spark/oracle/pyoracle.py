@@ -295,12 +295,17 @@ class PoliteOracle(ReferenceOracle):
     """
 
     def __init__(self, cfg: CrawlConfig, fetcher: Fetcher, is_english=None,
-                 robots_fn=None, seed: int = 42):
+                 robots_fn=None, seed: int | None = None):
         super().__init__(cfg, fetcher, is_english)
         if robots_fn is None:
             from gocrawler_spark.operators.politeness import synthetic_robots
 
-            robots_fn = lambda d: synthetic_robots(d, seed)  # noqa: E731
+            # default to cfg.seed, matching the engine's
+            # fetch_missing_robots(..., seed=cfg.seed) — a hard-coded
+            # seed here would silently desync the twins whenever a
+            # fixture is generated with cfg.seed != 42
+            rseed = cfg.seed if seed is None else seed
+            robots_fn = lambda d: synthetic_robots(d, rseed)  # noqa: E731
         self.robots_fn = robots_fn
         self.robots_cache: dict[str, tuple[list[str], int]] = {}
 
@@ -311,6 +316,17 @@ class PoliteOracle(ReferenceOracle):
         i = rest.find("/")
         return rest[i:] if i >= 0 else ""
 
+    # NOTE (deliberate deviation, shared with the engine): the
+    # reference's failure-refusal check re-scans an append-only log
+    # with a non-overlapping `\W(domain)\W` regex
+    # (crawler.go:507-518); because consecutive same-domain lines
+    # share one separator, the scan counts only ~half of an unbroken
+    # failure run, so Go's effective threshold drifts between 7 and 13
+    # consecutive failures depending on log adjacency. Both this
+    # oracle and the engine implement the EVIDENT INTENT — refuse
+    # after max_domain_failures(=6) actual failures — rather than
+    # emulating the regex undercount, which would require replaying
+    # global log order.
     def _robots_disallowed(self, url: str) -> bool:
         domain = pyref.get_domain(url)
         rules = self.robots_cache.get(domain)

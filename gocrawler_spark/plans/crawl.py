@@ -528,7 +528,12 @@ class CrawlEngine:
         ).unionByName(cached.select("url", "content", "links", "ok"))
 
         # politeness bookkeeping: only TRANSPORT failures count
-        # (refusals don't re-report — crawler.go:192-216,503-505)
+        # (refusals don't re-report — crawler.go:192-216,503-505).
+        # Deliberate deviation (shared with pyoracle): the threshold is
+        # max_domain_failures ACTUAL failures; the reference's
+        # non-overlapping \W-scan over its failure log undercounts
+        # unbroken same-domain runs ~2x (crawler.go:507-518), an
+        # artifact we implement the intent of, not the bug.
         self._append(
             "fail_counts",
             fetched_new.filter(~F.col("ok"))

@@ -37,9 +37,16 @@ TOKS_SQL = (
 )
 STOP_RX = CFG.stop_token_fullmatch  # no quotes inside — safe to inline
 
+# analyzed tokens = unicode tokenize -> ASCII-\W fragmentation (the
+# reference's stopwordFilter separator pass, crawler.go:651) -> stop
+# deletion. The fragmentation is a no-op on this ASCII corpus; stated
+# anyway so the oracle restates the full analyzer semantics.
 AN_TOKS_CTE = f"""
 an_toks AS (
-  SELECT doc_id, unnest({TOKS_SQL}) AS token
+  SELECT doc_id, unnest(list_filter(
+    flatten(list_transform({TOKS_SQL},
+      t -> string_split_regex(t, '[^0-9a-z_]+'))),
+    x -> x <> '')) AS token
   FROM documents WHERE lang = 'en'
 ),
 an_filtered AS (

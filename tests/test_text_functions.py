@@ -213,3 +213,26 @@ def test_paragraph_200_gate_counts_bytes_not_chars(spark):
         spark.createDataFrame([Row(url="u", content=base)]), test_profile()
     ).first()
     assert out["n_paragraphs_kept"] == 1
+
+
+def test_analyzer_fragments_tokens_at_non_ascii_runes(spark):
+    """Go's stopwordFilter doubles RE2 `\\W` runs — ASCII-only — so a
+    non-ASCII rune INSIDE a token is a separator there even though the
+    outer tokenizer is Unicode: 'café' must analyze to 'caf', and the
+    short fragments die in the length gate (crawler.go:651,528)."""
+    from gocrawler_spark.config import test_profile
+
+    cfg = test_profile()
+    text = "café naïve résumé covid analysis"
+    expected = pyref.analyze(text, cfg)
+    # the Go chain: café→caf; naïve→na|ve (both ≤2, dropped);
+    # résumé→r|sum (r dropped)
+    assert "caf" in expected and "café" not in expected
+    assert "sum" in expected and "résumé" not in expected
+    assert "na" not in expected and "ve" not in expected
+    got = (
+        spark.createDataFrame([Row(t=text)])
+        .select(T.analyzed_tokens(F.col("t"), cfg).alias("a"))
+        .first()["a"]
+    )
+    assert got == expected
