@@ -341,3 +341,219 @@ class PoliteOracle(ReferenceOracle):
         if self._robots_disallowed(url):
             return "", [], False  # refused: no fetch, no cache, no count
         return super().download_cached(url)
+
+
+class WaveOracle(ReferenceOracle):
+    """Epoch-mode oracle for the engine's SCALE MODE (wave_size > 1).
+
+    SURVEY.md §7.3: exact reference-order parity is only defined at
+    wave_size=1 (the reference is sequential; its selection-time
+    counter quirk makes order depend on per-URL increments). Scale
+    mode relaxes the contract to per-epoch semantics: each wave
+    selects from a SNAPSHOT of (frontier, domain_counter), fetches the
+    whole wave, then applies counter/failure/signature/frontier deltas
+    at the wave barrier. This class is the independent plain-Python
+    twin of those epoch semantics — list/dict state, no Spark — used
+    to generate the `crawl_scale_*` driver-gate fixtures.
+
+    Epoch semantics mirrored (independently, from the documented
+    contract — plans/crawl.py step(), operators/frontier.py):
+    - selection: pending (status 0) and bootstrap (status 4) rows
+      scored from the WAVE-START counter snapshot; order = bootstrap
+      first, then priority desc, insertion seq asc; per-host cap
+      `per_host_budget`, then global top `wave_size`;
+    - every selected URL increments its domain counter by 1 (the
+      reference's selection-time increment, batched per wave);
+    - failure refusal tests the WAVE-START fail counts; transport
+      failures accumulate and commit at the wave barrier;
+    - signature first-wins: cross-wave against the wave-start
+      signature table, intra-wave by selection rank; ALL new
+      signatures commit (even when the doc later fails score/burst);
+    - link expansion: bootstrap parents expand when fetched OK,
+      normal parents only when fully accepted; candidate occurrences
+      aggregate per URL with first-occurrence = min(parent_seq, pos);
+      existing URLs take count += delta, new URLs append in first_at
+      order (dense insertion seq);
+    - terminal quirk: an empty selection still increments the min-seq
+      row's domain (crawler.go:386,420).
+
+    The doc pipeline itself (curate, gates, term_freq, signature,
+    ranking, burstiness) is byte-identical to ReferenceOracle — wave
+    mode changes WHEN state commits, never per-document semantics.
+    """
+
+    def __init__(self, cfg: CrawlConfig, fetcher: Fetcher, is_english=None):
+        super().__init__(cfg, fetcher, is_english)
+        self.index: dict[str, PoolEntry] = {}
+        self.wave = 0
+        # (wave, url, status_after) — the per-epoch visited relation
+        self.visited: list[tuple[int, str, int]] = []
+
+    # pool index == insertion seq (the engine's dense seq assignment)
+    def _add_pool(self, url: str, domain: str, count: int, status: int):
+        e = PoolEntry(url, domain, count, status)
+        self.pool.append(e)
+        self.index[url] = e
+
+    def bootstrap(self):
+        for l in self.cfg.bootstrapping_links:
+            if pyref.link_seems_ok(l, True, self.cfg):
+                self._add_pool(l, pyref.get_domain(l), 1, 4)
+
+    def _select_epoch(self) -> list[tuple[int, PoolEntry]]:
+        cfg = self.cfg
+        scored = []
+        for seq, e in enumerate(self.pool):
+            if e.status == 4:
+                scored.append((1, 0.0, seq, e))
+            elif e.status == 0:
+                pr = (e.count * e.count) / (
+                    self.domain_counter.get(e.domain, 0) + 1.0
+                )
+                scored.append((0, pr, seq, e))
+        scored.sort(key=lambda t: (-t[0], -t[1], t[2]))
+        if cfg.per_host_budget > 0 and cfg.wave_size > 1:
+            taken: dict[str, int] = {}
+            capped = []
+            for t in scored:
+                n = taken.get(t[3].domain, 0)
+                if n < cfg.per_host_budget:
+                    taken[t[3].domain] = n + 1
+                    capped.append(t)
+            scored = capped
+        return [(seq, e) for _, _, seq, e in scored[: cfg.wave_size]]
+
+    def step_wave(self) -> bool:
+        cfg = self.cfg
+        sel = self._select_epoch()
+        if not sel:
+            if self.pool:
+                d = self.pool[0].domain
+                self.domain_counter[d] = self.domain_counter.get(d, 0) + 1
+            return False
+        self.wave += 1
+
+        # selection-time counter delta (batched at the epoch barrier)
+        for _, e in sel:
+            self.domain_counter[e.domain] = (
+                self.domain_counter.get(e.domain, 0) + 1
+            )
+
+        fail_snapshot = dict(self.fail_log)
+        sig_seen = set(self.unique_signature)
+        pending_fail: dict[str, int] = {}
+        results = []
+        for seq, e in sel:
+            prev_status = e.status
+            if e.url in self.cache:
+                content, links, ok = self.cache[e.url]
+            elif fail_snapshot.get(e.domain, 0) > cfg.max_domain_failures:
+                content, links, ok = "", [], False  # refused, no count
+            else:
+                content, links, ok = self.fetch(e.url)
+                if ok:
+                    self.cache[e.url] = (content, links, True)
+                    self.res.seen_urls.add(e.url)
+                else:
+                    pending_fail[e.domain] = (
+                        pending_fail.get(e.domain, 0) + 1
+                    )
+            e.status = 2 if ok else 3
+            self.res.crawl_order.append(e.url)
+            self.visited.append((self.wave, e.url, e.status))
+            results.append((seq, e, prev_status, content, links, ok))
+        for d, n in pending_fail.items():
+            self.fail_log[d] = self.fail_log.get(d, 0) + n
+
+        # doc pipeline in selection-rank order; parents for expansion
+        new_sigs: dict[str, str] = {}
+        parents: list[tuple[int, str, list[str]]] = []
+        for seq, e, prev_status, content, links, ok in results:
+            if prev_status == 4 and ok:
+                parents.append((seq, e.url, links))
+            if not ok:
+                continue
+            paragraphs, best_p = self.curate(content)
+            curated = ""
+            for p in paragraphs:
+                if len(p.encode("utf-8")) < 200:
+                    continue
+                ratio = pyref.stopwords_count(p, cfg) / (
+                    pyref.tokens_count(p) + 1
+                )
+                if ratio < 0.1 or ratio > 0.38:
+                    continue
+                curated = curated + "\n" + p
+            doc_len = pyref.tokens_count(curated)
+            if doc_len > cfg.max_doc_len or doc_len < cfg.min_doc_len:
+                continue
+            f_doc = pyref.term_freq(curated, cfg)
+            f_doc["the"] = 0
+            g_doc = pyref.rsort_freq(f_doc)
+            signature = pyref.signature_of(f_doc)
+            if signature in sig_seen or signature in new_sigs:
+                continue
+            new_sigs[signature] = e.url
+            score = pyref.ranking_by_keywords(curated, cfg)
+            if score < cfg.score_threshold:
+                continue
+            self.res.ranking_rows.append(
+                {
+                    "score": round(score, 2),
+                    "doc_len": doc_len,
+                    "signature": signature,
+                    "url": e.url,
+                    "best_paragraph": best_p,
+                }
+            )
+            max_ratio = g_doc[0][1] / (1 + doc_len) if g_doc else 0.0
+            if max_ratio > 0.1 or max_ratio < 0.002:
+                continue
+            for tok, n in pyref.term_freq(curated, cfg).items():
+                self.res.corpus_freqs[tok] = (
+                    self.res.corpus_freqs.get(tok, 0) + n
+                )
+            self.res.accepted_docs.append(
+                {"url": e.url, "curated": curated, "doc_len": doc_len,
+                 "signature": signature, "score": score}
+            )
+            if prev_status == 0:
+                parents.append((seq, e.url, links))
+        self.unique_signature.update(new_sigs)
+
+        # link expansion: per-URL aggregation with first-occurrence order
+        agg: dict[str, list] = {}
+        for parent_seq, parent_url, links in parents:
+            parent_sld = pyref.get_second_level_domain(parent_url)
+            for pos, link in enumerate(links):
+                dom = pyref.get_domain(link)
+                if parent_sld in dom:
+                    continue
+                if not pyref.link_seems_ok(link, False, cfg):
+                    continue
+                if dom == "" or pyref.is_banned(link, dom, cfg):
+                    continue
+                a = agg.get(link)
+                if a is None:
+                    agg[link] = [dom, 1, (parent_seq, pos)]
+                else:
+                    a[1] += 1
+                    if (parent_seq, pos) < a[2]:
+                        a[2] = (parent_seq, pos)
+        fresh = []
+        for url, (dom, delta, first_at) in agg.items():
+            ex = self.index.get(url)
+            if ex is not None:
+                ex.count += delta
+            else:
+                fresh.append((first_at, url, dom, delta))
+        for _, url, dom, delta in sorted(fresh):
+            self._add_pool(url, dom, delta, 0)
+        return True
+
+    def run(self, max_iters: int = 10_000) -> OracleResult:
+        self.bootstrap()
+        for _ in range(max_iters):
+            if not self.step_wave():
+                break
+        return self.res

@@ -439,6 +439,93 @@ def crawl_polite_8waves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The SCALE-MODE engine loop under the oracle gate (round-2 verdict
+# "Next round" #2): 8 waves at wave_size=8 / per_host_budget=2 — the
+# shape a 100-TB crawl actually runs (big-wave merge/status/counter
+# timing at the epoch barrier). The oracle fixtures come from
+# WaveOracle (oracle/pyoracle.py), the independent plain-Python twin
+# of the documented epoch semantics (SURVEY.md §7.3 relaxation).
+# Regenerate with scripts/regen_crawl_fixtures.py.
+_SCALE_W8 = _fx("crawl_scale_w8.csv")
+_SCALE_VISITED_W8 = _fx("crawl_scale_visited_w8.csv")
+
+
+_SCALE_STATE: dict = {}
+
+
+def _scale_state(spark: SparkSession):
+    """One 8×8 scale-mode engine run per session; both scale-gate
+    queries read its pinned state (frontier + crawl_log) — the same
+    materialize-once pattern as memo_result, keyed on applicationId."""
+    key = spark.sparkContext.applicationId
+    st = _SCALE_STATE.get(key)
+    if st is None:
+        from gocrawler_spark.config import test_profile
+        from gocrawler_spark.plans.crawl import CrawlEngine
+
+        eng = CrawlEngine(
+            spark, test_profile(wave_size=8, per_host_budget=2)
+        )
+        st = eng.run(max_steps=8)
+        # detach the gate outputs from the engine's pin GC: localCheckpoint
+        # makes them self-contained for the rest of the session
+        st.frontier = st.frontier.localCheckpoint(eager=True)
+        st.crawl_log = st.crawl_log.localCheckpoint(eager=True)
+        _SCALE_STATE.clear()  # at most one pinned run per session
+        _SCALE_STATE[key] = st
+    return st
+
+
+@register(
+    "crawl_scale_wave8",
+    f"""
+SELECT url, domain, CAST(count AS BIGINT) AS count,
+       CAST(status AS INT) AS status, CAST(seq AS BIGINT) AS seq
+FROM read_csv('{_SCALE_W8}', header=true)
+""",
+)
+def crawl_scale_wave8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight SCALE-MODE waves of CrawlEngine (wave_size=8,
+    per_host_budget=2): the final frontier — including merge-timing-
+    sensitive counts and dense insertion seqs — must equal the
+    epoch-semantics WaveOracle. This gates exactly the code path a
+    big-wave deployment runs: snapshot selection with the per-host
+    window, batched counter/failure deltas, wave-barrier signature
+    first-wins, and the decomposed seq assignment over a multi-parent
+    candidate set (operators/frontier.py:_assign_seq)."""
+    st = _scale_state(spark)
+    return st.frontier.select(
+        "url",
+        "domain",
+        F.col("count").cast("long").alias("count"),
+        F.col("status").cast("int").alias("status"),
+        F.col("seq").cast("long").alias("seq"),
+    )
+
+
+@register(
+    "crawl_scale_visited",
+    f"""
+SELECT CAST(wave AS BIGINT) AS wave, url,
+       CAST(status_after AS INT) AS status_after
+FROM read_csv('{_SCALE_VISITED_W8}', header=true)
+""",
+)
+def crawl_scale_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §7.3's scale-mode contract stated directly: the
+    per-epoch VISITED-URL sets (wave, url, status_after) of the same
+    8×8 scale run must equal the WaveOracle's — the driver's
+    order-insensitive hash over this relation IS per-epoch
+    set-equality."""
+    st = _scale_state(spark)
+    return st.crawl_log.select(
+        F.col("wave").cast("long").alias("wave"),
+        "url",
+        F.col("status_after").cast("int").alias("status_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
 @register(
     "bigrams_top100",
     f"""

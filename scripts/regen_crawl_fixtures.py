@@ -7,6 +7,10 @@ gate).
 - fixtures/crawl_polite_w8.csv    <- PoliteOracle (robots gate), 8
   waves (8 so the synthetic robots rules actually refuse URLs inside
   the window — /story-* is disallowed for two of the crawled hosts)
+- fixtures/crawl_scale_w8.csv + crawl_scale_visited_w8.csv
+  <- WaveOracle (epoch semantics), 8 waves at wave_size=8,
+  per_host_budget=2 — the SCALE-MODE gate (SURVEY.md §7.3): final
+  frontier incl. counts/seqs plus the per-epoch visited relation.
 
 Usage: python scripts/regen_crawl_fixtures.py
 """
@@ -18,7 +22,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gocrawler_spark.config import test_profile
-from gocrawler_spark.oracle.pyoracle import PoliteOracle, ReferenceOracle
+from gocrawler_spark.oracle.pyoracle import (
+    PoliteOracle,
+    ReferenceOracle,
+    WaveOracle,
+)
 from gocrawler_spark.sources import synthetic_web as SW
 
 FIXTURES = os.path.join(
@@ -43,3 +51,15 @@ if __name__ == "__main__":
     write_pool(res.pool, os.path.join(FIXTURES, "crawl_frontier_w5.csv"))
     res = PoliteOracle(cfg, SW.fetch_page).run(max_iters=8)
     write_pool(res.pool, os.path.join(FIXTURES, "crawl_polite_w8.csv"))
+
+    scfg = test_profile(wave_size=8, per_host_budget=2)
+    worc = WaveOracle(scfg, SW.fetch_page)
+    worc.run(max_iters=8)
+    write_pool(worc.pool, os.path.join(FIXTURES, "crawl_scale_w8.csv"))
+    vpath = os.path.join(FIXTURES, "crawl_scale_visited_w8.csv")
+    with open(vpath, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["wave", "url", "status_after"])
+        for wave, url, st in worc.visited:
+            w.writerow([wave, url, st])
+    print(f"wrote {vpath} ({len(worc.visited)} rows)")

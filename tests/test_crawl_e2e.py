@@ -216,3 +216,52 @@ def test_salted_fetch_spreads_hot_domain(spark):
     )
     assert plain == 1, "unsalted: one partition per domain"
     assert salted > 1, "salted: hot domain split across partitions"
+
+
+def test_scale_fixtures_fresh():
+    """The committed crawl_scale_* fixtures equal a fresh WaveOracle
+    run — guards the driver-gate CSVs against drifting from
+    oracle/pyoracle.py edits (pure Python, no Spark)."""
+    import csv
+
+    from gocrawler_spark.fixtures import fixture_path
+    from gocrawler_spark.oracle.pyoracle import WaveOracle
+
+    worc = WaveOracle(_tp(wave_size=8, per_host_budget=2), SW.fetch_page)
+    worc.run(max_iters=8)
+
+    with open(fixture_path("crawl_scale_w8.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert [
+        (r["url"], r["domain"], int(r["count"]), int(r["status"]), int(r["seq"]))
+        for r in rows
+    ] == [
+        (e.url, e.domain, e.count, e.status, i)
+        for i, e in enumerate(worc.pool)
+    ]
+
+    with open(fixture_path("crawl_scale_visited_w8.csv")) as f:
+        vrows = list(csv.DictReader(f))
+    assert [
+        (int(r["wave"]), r["url"], int(r["status_after"])) for r in vrows
+    ] == worc.visited
+
+
+def test_wave_oracle_w1_matches_reference_oracle():
+    """At wave_size=1 the epoch relaxation collapses back to the
+    sequential reference semantics for the VISITED SET: the WaveOracle
+    and ReferenceOracle crawl the same URLs (order may differ only via
+    the counter-timing quirk, which wave_size=1 epochs also reproduce
+    wave-by-wave: one URL per epoch, counter committed before the next
+    selection)."""
+    from gocrawler_spark.oracle.pyoracle import WaveOracle
+
+    cfg = _tp(wave_size=1)
+    ref = ReferenceOracle(cfg, SW.fetch_page)
+    ref.run(max_iters=6)
+    wav = WaveOracle(cfg, SW.fetch_page)
+    wav.run(max_iters=6)
+    assert wav.res.crawl_order == ref.res.crawl_order
+    assert [(e.url, e.count, e.status) for e in wav.pool] == [
+        (e.url, e.count, e.status) for e in ref.pool
+    ]
