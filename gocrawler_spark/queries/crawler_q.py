@@ -526,6 +526,79 @@ def crawl_scale_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# THE GOLDEN RUN (round-2 verdict "Next round" #3): the reference's
+# only published acceptance artifact is the periodic "Corpus
+# frequencies w/o Eng." top-100 (README.md:45-51, the checkpoint block
+# crawler.go:1285-1345). This query assembles the whole chain
+# end-to-end: crawl (scale engine) → accumulated corpus frequencies →
+# FILE-driven baseline merge (S9/A5, the two shipped .num corpora) →
+# "the"-anchored background subtraction (A6) → top-100 in rSortFreq
+# order. The DuckDB oracle restates every stage from the WaveOracle's
+# pinned corpus CSV + the same .num files — only the crawl itself is
+# fixture-pinned; merge/subtract/sort are recomputed independently.
+_SCALE_CORPUS_W8 = _fx("crawl_scale_corpus_w8.csv")
+
+
+@register(
+    "golden_run_noeng_top100",
+    f"""
+WITH corpus AS (
+  SELECT token, CAST(count AS BIGINT) AS count
+  FROM read_csv('{_SCALE_CORPUS_W8}', header=true)
+),
+eng AS (
+  SELECT token, MAX(num_total) AS num_total
+  FROM read_csv('{_CLASSICAL}', delim=' ', header=false, columns={_NUM_COLS})
+  GROUP BY token
+),
+cont AS (
+  SELECT token, MAX(num_total) AS num_total
+  FROM read_csv('{_CONTEMP}', delim=' ', header=false, columns={_NUM_COLS})
+  GROUP BY token
+),
+factor AS (
+  SELECT (SELECT CAST(num_total AS DOUBLE) FROM eng WHERE token = 'the')
+       / (SELECT CAST(num_total AS DOUBLE) FROM cont WHERE token = 'the') AS f
+),
+base AS (
+  SELECT COALESCE(e.token, c.token) AS token,
+         CAST(floor(CAST(COALESCE(e.num_total, 0) AS DOUBLE)
+                    + (SELECT f FROM factor) * COALESCE(c.num_total, 0))
+              AS BIGINT) AS num_total
+  FROM eng e FULL OUTER JOIN cont c ON e.token = c.token
+),
+scale AS (
+  SELECT (1.0 + COALESCE((SELECT num_total FROM base WHERE token = 'the'), 0))
+       / (SELECT CAST(count AS DOUBLE) FROM corpus WHERE token = 'the') AS s
+)
+SELECT c.token,
+       c.count - CAST(floor(
+           20.0 * (1.0 + COALESCE(b.num_total, 0))
+           / (SELECT s FROM scale)
+       ) AS BIGINT) AS cnt
+FROM corpus c LEFT JOIN base b USING (token)
+ORDER BY cnt DESC, token DESC LIMIT 100
+""",
+)
+def golden_run_noeng_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference demo loop reproduced end-to-end from files: the
+    scale crawl's corpus frequencies, background-subtracted against
+    the file-driven merged English baseline, top-100 (crawler.go:
+    1303-1341; README.md "Corpus frequencies w/o Eng."). The anchor
+    check (corpus top token must be 'the') fires for real — the
+    synthetic corpus, like natural English, keeps 'the' on top
+    because the analyzer's stopword list excludes it."""
+    st = _scale_state(spark)
+    c = CO.load_corpus_file(spark, _CLASSICAL)
+    m = CO.load_corpus_file(spark, _CONTEMP)
+    baseline = CO.merge_baselines(c, m)
+    noeng = CO.background_subtract(st.corpus_freq, baseline)
+    return CO.top_k(noeng, 100).select(
+        "token", F.col("count").alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
 @register(
     "bigrams_top100",
     f"""

@@ -11,6 +11,11 @@ gate).
   <- WaveOracle (epoch semantics), 8 waves at wave_size=8,
   per_host_budget=2 — the SCALE-MODE gate (SURVEY.md §7.3): final
   frontier incl. counts/seqs plus the per-epoch visited relation.
+- fixtures/crawl_scale_corpus_w8.csv <- the same WaveOracle run's
+  accumulated corpus frequencies — the crawl-side input to the
+  GOLDEN-RUN gate (the reference README's "Corpus frequencies w/o
+  Eng." demo artifact); the DuckDB oracle restates the baseline
+  merge + background subtraction from this CSV and the .num files.
 
 Usage: python scripts/regen_crawl_fixtures.py
 """
@@ -63,3 +68,10 @@ if __name__ == "__main__":
         for wave, url, st in worc.visited:
             w.writerow([wave, url, st])
     print(f"wrote {vpath} ({len(worc.visited)} rows)")
+    cpath = os.path.join(FIXTURES, "crawl_scale_corpus_w8.csv")
+    with open(cpath, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["token", "count"])
+        for tok in sorted(worc.res.corpus_freqs):
+            w.writerow([tok, worc.res.corpus_freqs[tok]])
+    print(f"wrote {cpath} ({len(worc.res.corpus_freqs)} rows)")

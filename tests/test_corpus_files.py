@@ -183,3 +183,48 @@ def test_kv_remove_at_matches_go_append_semantics(spark):
         ]
         want = ranked[:s] + ranked[s + 1 :]
         assert got == want, (s, got, want)
+
+
+def test_golden_run_snapshot_files_byte_exact(spark, tmp_path):
+    """The reference's demo-loop artifact end-to-end FROM FILES
+    (README.md:45-51, crawler.go:1285-1341): scale-mode crawl →
+    corpus freqs → file-driven baseline merge → 'the'-anchored
+    background subtraction → BOTH checkpoint file formats. Expected
+    bytes come from a pure-Python twin: the WaveOracle's corpus
+    frequencies + this module's line-exact loadCorpus/Init
+    transliteration + the subtraction formula, formatted per
+    crawler.go:1296-1300 (all.num) and :1337-1341 (basic)."""
+    from gocrawler_spark.oracle.pyoracle import WaveOracle
+    from gocrawler_spark.queries.crawler_q import _scale_state
+    from gocrawler_spark.sources import synthetic_web as SW
+    from tests.test_crawl_e2e import _tp
+
+    # independent Python side -------------------------------------
+    worc = WaveOracle(_tp(wave_size=8, per_host_budget=2), SW.fetch_page)
+    worc.run(max_iters=8)
+    corpus = worc.res.corpus_freqs
+    merged = _merge_ref(
+        _load_corpus_ref(_CLASSICAL), _load_corpus_ref(_CONTEMP)
+    )
+    order = sorted(corpus.items(), key=lambda t: (-t[1], [-ord(c) for c in t[0]]))
+    assert order[0][0] == "the", "anchor precondition"
+    scale = float(1 + merged.get("the", 0)) / float(corpus["the"])
+    noeng = {
+        tok: cnt - int(20.0 * (1.0 + merged.get(tok, 0)) / scale)
+        for tok, cnt in corpus.items()
+    }
+    noeng_order = sorted(
+        noeng.items(), key=lambda t: (-t[1], [-ord(c) for c in t[0]])
+    )
+    want_allnum = "".join(f"{c} {t} none 0\n" for t, c in order)
+    want_basic = "".join(f"{c} {t}\n" for t, c in noeng_order)
+
+    # engine side -------------------------------------------------
+    st = _scale_state(spark)
+    baseline = CO.merge_baselines(
+        CO.load_corpus_file(spark, _CLASSICAL),
+        CO.load_corpus_file(spark, _CONTEMP),
+    )
+    out = CF.snapshot_corpus_files(st.corpus_freq, baseline, str(tmp_path))
+    assert open(out["corpusFrequencies"]).read() == want_allnum
+    assert open(out["corpusNoEngFrequencies"]).read() == want_basic
