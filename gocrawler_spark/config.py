@@ -61,6 +61,11 @@ class CrawlConfig:
     min_doc_len: int = 0
     max_doc_len: int = 100000
     score_threshold: float = 0.0
+    # --- proxy.yaml (optional; reference yamlInitProxy
+    # crawler.go:1434-1453 — all-empty when the file is absent) ---
+    proxy_host: str = ""
+    proxy_user: str = ""
+    proxy_pass: str = ""
     # --- engine-level knobs (no reference analog) ---
     max_domain_failures: int = 6  # crawler.go:513 (`> 6`)
     wave_size: int = 1  # 1 = exact reference schedule; >1 = scale mode
@@ -314,7 +319,9 @@ def neutral_profile(**overrides) -> CrawlConfig:
     return cfg.with_(**overrides) if overrides else cfg
 
 
-def load_profile_yaml(global_path: str, profile_path: str) -> CrawlConfig:
+def load_profile_yaml(
+    global_path: str, profile_path: str, proxy_path: str | None = None
+) -> CrawlConfig:
     """S10: build a CrawlConfig from a crawler.yaml-shaped global file
     plus a <topic>.yaml-shaped profile file, reproducing the viper
     loading + RmNewLines regex assembly verbatim
@@ -325,13 +332,27 @@ def load_profile_yaml(global_path: str, profile_path: str) -> CrawlConfig:
     - missing keys take viper zero values ("" / 0 / empty slice);
     - scoreThreshold is read as an int then widened to float64, exactly
       like ``float64(viper.GetInt("scoreThreshold"))``.
+
+    ``proxy_path`` is the yamlInitProxy analog (crawler.go:1434-1453):
+    optional and SILENTLY skipped when the file does not exist —
+    exactly the reference's ``if !FileExists("./proxy.yaml") return``
+    — otherwise proxyHost/proxyUser/proxyPass load as plain strings
+    (no RmNewLines: the reference reads them with bare GetString).
+    The fields thread into the pluggable fetcher via
+    :func:`proxy_url`.
     """
+    import os
+
     import yaml
 
     with open(global_path) as f:
         g = yaml.safe_load(f) or {}
     with open(profile_path) as f:
         p = yaml.safe_load(f) or {}
+    px: dict = {}
+    if proxy_path is not None and os.path.exists(proxy_path):
+        with open(proxy_path) as f:
+            px = yaml.safe_load(f) or {}
 
     def s(d: dict, key: str) -> str:
         return _rm_newlines(str(d.get(key) or ""))
@@ -356,7 +377,27 @@ def load_profile_yaml(global_path: str, profile_path: str) -> CrawlConfig:
         min_doc_len=i(p, "minDocLen"),
         max_doc_len=i(p, "maxDocLen"),
         score_threshold=float(i(p, "scoreThreshold")),
+        proxy_host=str(px.get("proxyHost") or ""),
+        proxy_user=str(px.get("proxyUser") or ""),
+        proxy_pass=str(px.get("proxyPass") or ""),
     )
+
+
+def proxy_url(cfg: CrawlConfig) -> str | None:
+    """The fetcher-kwarg form of the proxy config: the http proxy URL
+    the reference's client would use (proxyGet crawler.go:153-168 —
+    ``url.URL{Scheme: "http", User: UserPassword(u, p), Host: host}``),
+    or None when no proxy is configured (proxyHost empty ⇒ plain
+    client). A pluggable HTTP fetcher passes this straight into e.g.
+    ``requests.get(..., proxies={"http": url, "https": url})``."""
+    if not cfg.proxy_host:
+        return None
+    from urllib.parse import quote
+
+    auth = ""
+    if cfg.proxy_user or cfg.proxy_pass:
+        auth = f"{quote(cfg.proxy_user, safe='')}:{quote(cfg.proxy_pass, safe='')}@"
+    return f"http://{auth}{cfg.proxy_host}"
 
 
 def test_profile(**overrides) -> CrawlConfig:

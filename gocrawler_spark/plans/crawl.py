@@ -60,6 +60,7 @@ from gocrawler_spark.operators import corpus as CO
 from gocrawler_spark.operators import curation as CU
 from gocrawler_spark.operators import frontier as FR
 from gocrawler_spark.operators import bloom as BL
+from gocrawler_spark.operators import cuckoo as CK
 from gocrawler_spark.operators import images as IM
 from gocrawler_spark.operators import politeness as PO
 from gocrawler_spark.pins import PinSet
@@ -129,6 +130,7 @@ class CrawlState:
     ranking_rows: DataFrame  # S6 CSV analog
     images: DataFrame | None = None  # input_hint payload table (graft)
     bloom: DataFrame | None = None  # sharded seen-set accelerator
+    cuckoo: DataFrame | None = None  # deletable fetched-URL seen set
     robots: DataFrame | None = None  # robots.txt cache (politeness)
     wave: int = 0
 
@@ -145,6 +147,8 @@ class CrawlEngine:
         with_images: bool = False,
         use_bloom: bool = False,
         bloom_shards: int = 32,
+        use_cuckoo: bool = False,
+        cuckoo_shards: int = 16,
         use_robots: bool = False,
         wave_budget_ms: int = 4000,
         robots_fn=None,
@@ -171,6 +175,13 @@ class CrawlEngine:
         # (_maybe_regrow_bloom) bumps this and all later wave filters
         # are built to match
         self._bloom_cap = 200_000
+        # deletable seen-set (north_rule names the bloom/cuckoo pair):
+        # tracks exactly the FETCHED page keys, so URL retirement is a
+        # per-shard O(1) delete instead of a Bloom rebuild — the
+        # recrawl wave's enabler (retire/retire_stalest below)
+        self.use_cuckoo = use_cuckoo
+        self.cuckoo_shards = cuckoo_shards
+        self._cuckoo_cap = 200_000
         self.use_robots = use_robots
         self.wave_budget_ms = wave_budget_ms
         self.robots_fn = robots_fn
@@ -368,7 +379,7 @@ class CrawlEngine:
         (self._live); wave-transient pins (selection, wave rows, merge
         intermediates) fall out of it and are freed."""
         st = self.state
-        keep = list(self._live) + [st.frontier, st.bloom, st.robots]
+        keep = list(self._live) + [st.frontier, st.bloom, st.cuckoo, st.robots]
         self.pins.retain(keep)
 
     # ------------------------------------------------------------------
@@ -545,6 +556,21 @@ class CrawlEngine:
         # S3 memoization: append newly fetched OK pages
         ok_new = fetched_new.filter(F.col("ok"))
         self._append("pages", ok_new)
+
+        # deletable seen-set: insert EXACTLY the new page-cache keys
+        # (cuckoo delete is only sound for inserted keys, so unlike
+        # the Bloom path this must NOT over-insert wave candidates)
+        if self.use_cuckoo:
+            new_ck = CK.build(
+                ok_new.select("url"),
+                n_shards=self.cuckoo_shards,
+                expected_keys_per_shard=self._cuckoo_cap,
+            )
+            st.cuckoo = self._pin(
+                new_ck
+                if st.cuckoo is None
+                else CK.merge(st.cuckoo, new_ck)
+            )
 
         # graft payload: images+captions of newly fetched pages →
         # input_hint table (first-fetch only, so re-crawls are
@@ -744,6 +770,96 @@ class CrawlEngine:
                 fpr=self.cfg.bloom_fpr,
             )
         )
+
+    def retire(self, urls: DataFrame) -> None:
+        """The RECRAWL wave's retirement half: make the given fetched
+        URLs crawlable again (north_rule: the frontier 'retires URLs
+        (re-crawl after TTL, host removed by policy, page gone 410)').
+
+        Per retired URL, atomically within one engine barrier:
+        - cuckoo seen-set: O(1) fingerprint DELETE per shard — the
+          operation the Bloom sibling cannot do without a rebuild
+          (operators/cuckoo.py; requires use_cuckoo=True);
+        - page cache: the memo row is evicted (lazy broadcast
+          anti-join piece — O(wave) work now, folded away by the next
+          compaction) so the next selection actually re-fetches;
+        - signatures: the doc's P5 row is dropped, else the refreshed
+          content would be rejected as a near-duplicate of itself;
+        - frontier: status 2/3 -> 0 (pending) with count preserved —
+          the in-degree evidence keeps driving priority.
+
+        Accounting families (crawl_log, accepted, ranking_rows,
+        corpus_freq, fail/domain counters) are append-only HISTORY and
+        are deliberately untouched: a recrawl is a new observation,
+        not a retraction. Scale shape: `urls` is wave-sized; every
+        join here broadcasts it against state, and the cuckoo delete
+        moves only the affected shard blobs.
+
+        Returns the pinned retired-key frame (kept live: the rewritten
+        pages/signatures views anti-join against it until the next
+        compaction)."""
+        if not self.use_cuckoo or self.state.cuckoo is None:
+            raise ValueError("retire() requires use_cuckoo=True")
+        if self.store is not None:
+            # the parquet checkpoint shim persists pages/signatures as
+            # APPEND-ONLY delta segments; a resume would replay them
+            # without this retire's anti-join and resurrect the page.
+            # Iceberg row-level deletes are the production path; until
+            # the shim grows tombstone segments, fail loudly.
+            raise NotImplementedError(
+                "retire() with a checkpoint store needs tombstone "
+                "segments; run retirement on a non-checkpointed engine"
+            )
+        st = self.state
+        retired = self._pin(urls.select("url").distinct())
+        self._live.append(retired)
+        st.cuckoo = self._pin(
+            CK.delete(st.cuckoo, retired, n_shards=self.cuckoo_shards)
+        )
+        for fam in ("pages", "signatures"):
+            view = self._union_view(fam).join(
+                F.broadcast(retired), "url", "left_anti"
+            )
+            self._pieces[fam] = [view]
+            setattr(st, fam, view)
+        marker = retired.withColumn("_retired", F.lit(True))
+        reset = (
+            st.frontier.join(F.broadcast(marker), "url", "left")
+            .select(
+                "url",
+                "domain",
+                "count",
+                F.when(
+                    F.col("_retired").isNotNull()
+                    & F.col("status").isin(2, 3),
+                    F.lit(0),
+                )
+                .otherwise(F.col("status"))
+                .alias("status"),
+                "seq",
+                "eligible",
+            )
+        )
+        self._set_frontier(reset)
+        self._gc_pins()
+        return retired
+
+    def retire_stalest(self, k: int) -> DataFrame:
+        """Staleness-ranked retirement: pick the k OK pages fetched
+        longest ago (min crawl_log wave, url tiebreak — the engine's
+        age signal; a production deployment would rank by the λ·age
+        model of queries/freshness_q.py over its change history) and
+        retire them. Returns the retired key frame."""
+        stale = (
+            self.state.crawl_log.filter(F.col("status_after") == 2)
+            .groupBy("url")
+            .agg(F.min("wave").alias("first_wave"))
+            .join(self.state.pages.select("url"), "url", "left_semi")
+            .orderBy(F.asc("first_wave"), F.asc("url"))
+            .limit(k)
+            .select("url")
+        )
+        return self.retire(stale)
 
     def checkpoint(self) -> None:
         """Commit a snapshot: flush pending delta segments, rewrite

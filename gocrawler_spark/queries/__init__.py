@@ -59,16 +59,78 @@ def register(name: str, oracle_sql: str | None = None):
 # of how a 100 TB pipeline actually runs: each gate is materialized as
 # a table once and every downstream join reads the table, not the
 # recomputed lineage. Keyed by (SparkContext, sf_dir); blocks are tiny
-# (see each decorated query) and freed when the context dies.
+# (see each decorated query).
+#
+# EVICTION: a long-lived session sweeping many sf_dirs would otherwise
+# accumulate pinned relations forever (localCheckpoint blocks survive
+# dereferencing until the context dies). Every participating memo dict
+# registers here, and touching an sf_dir beyond the two most recent
+# evicts + unpersists every memoized frame of the oldest one.
 _RESULT_MEMO: dict = {}
+_MEMO_REGISTRY: list[dict] = [_RESULT_MEMO]
+_SF_RECENCY: list[tuple] = []  # (app_id, sf_dir), most recent LAST
+MEMO_MAX_SF_DIRS = 2
+# id(pinned df) -> (df strong ref, its persistent-RDD ids, session):
+# DataFrame.unpersist() cannot release a localCheckpoint's blocks (it
+# talks to the SQL cache manager, not the block manager), so memo pins
+# record their RDD ids the way PinSet does and eviction frees them
+# through the JVM persistent-RDD registry.
+_PIN_IDS: dict[int, tuple] = {}
+
+
+def pin_memo_df(spark: SparkSession, df: DataFrame) -> DataFrame:
+    from gocrawler_spark.pins import _persistent_ids
+
+    before = _persistent_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    _PIN_IDS[id(out)] = (out, _persistent_ids(spark) - before, spark)
+    return out
+
+
+def register_memo(memo: dict) -> dict:
+    """Join a memo dict (keys starting with (app_id, sf_dir, ...)) to
+    the shared eviction policy."""
+    if not any(m is memo for m in _MEMO_REGISTRY):  # identity, not ==
+        _MEMO_REGISTRY.append(memo)
+    return memo
+
+
+def touch_sf_dir(app_id: str, sf_dir: str) -> None:
+    """Mark (app_id, sf_dir) most-recently-used; evict + unpersist
+    every registered memo entry of sf_dirs beyond the newest
+    MEMO_MAX_SF_DIRS."""
+    k = (app_id, sf_dir)
+    if k in _SF_RECENCY:
+        _SF_RECENCY.remove(k)
+    _SF_RECENCY.append(k)
+    while len(_SF_RECENCY) > MEMO_MAX_SF_DIRS:
+        old = _SF_RECENCY.pop(0)
+        for memo in _MEMO_REGISTRY:
+            for mk in [x for x in memo if tuple(x[:2]) == old]:
+                release_memo_df(memo.pop(mk))
+
+
+def release_memo_df(df: DataFrame) -> None:
+    ent = _PIN_IDS.pop(id(df), None)
+    if ent is None:
+        return
+    _, ids, spark = ent
+    try:
+        from gocrawler_spark.pins import _unpersist_ids
+
+        _unpersist_ids(spark, ids)
+    except Exception:
+        pass  # context already stopped
 
 
 def memo_result(fn):
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        key = (spark.sparkContext.applicationId, sf_dir, fn.__name__)
+        app = spark.sparkContext.applicationId
+        touch_sf_dir(app, sf_dir)
+        key = (app, sf_dir, fn.__name__)
         df = _RESULT_MEMO.get(key)
         if df is None:
-            df = fn(spark, sf_dir).localCheckpoint(eager=True)
+            df = pin_memo_df(spark, fn(spark, sf_dir))
             _RESULT_MEMO[key] = df
         return df
 
@@ -110,3 +172,46 @@ from gocrawler_spark.queries import stream_q  # noqa: E402,F401
 from gocrawler_spark.queries import trap_q  # noqa: E402,F401
 from gocrawler_spark.queries import warc_q  # noqa: E402,F401
 from gocrawler_spark.queries import text_q  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# Registry ordering: queries with NO green driver-gate row in any past
+# round come FIRST, so a driver that samples a prefix of the registry
+# verifies the never-checked set before re-verifying known-green ones.
+# Every query stays registered either way; this is pure iteration
+# order. Names below = union of CORRECTNESS_r01/r02 green rows.
+_DRIVER_CHECKED = {
+    "ann_ivf_topk", "ann_ivfpq_topk", "ann_lsh_buckets",
+    "ann_pq_adc_topk", "ann_recall_at_k", "audio_features_summary",
+    "audio_metadata_stats", "background_subtract", "baseline_merge",
+    "bigrams_top100", "corpus_freq_top100", "crawl_frontier_5waves",
+    "crawl_polite_8waves", "curation_verdict", "decontaminate_overlap",
+    "dedup_clusters", "dedup_exact", "dedup_ngram_jaccard",
+    "doc_fingerprint", "doc_signature", "doc_token_stats",
+    "embedding_cosine_near_dups", "embedding_dedup_clusters",
+    "embedding_knn", "events_hourly", "events_sessionize",
+    "events_top_purchasers", "frontier_priority_topk",
+    "gopher_quality_filter", "host_inlink_stats", "host_quality_stats",
+    "html_extract_stats", "image_metadata_stats",
+    "image_phash_near_dups", "image_resize_summary",
+    "image_sharpness_stats", "image_validate_summary",
+    "keyword_ranking", "lang_id_heuristic", "minhash_bands",
+    "minhash_incremental_probe", "minhash_jaccard_estimate",
+    "minhash_lsh_pairs", "ngrams_pruned_2to4", "oov_quality",
+    "opic_priorities", "pii_scrub_stats", "quality_score",
+    "recrawl_priority", "redirect_resolution", "repetition_stats",
+    "sample_stratified", "signature_dedup", "simhash32",
+    "simhash_near_dups", "span_dedup_coverage", "stopword_ratio_band",
+    "token_count_bpe", "tpch_q1_pricing", "tpch_q3_toporders",
+    "tpch_q5_region_revenue", "trigrams_bounded", "unigram_lm_nll",
+    "url_validate", "video_frame_sample_motion", "video_metadata_stats",
+}
+
+
+def _unverified_first(d: dict) -> dict:
+    fresh = {k: v for k, v in d.items() if k not in _DRIVER_CHECKED}
+    seen = {k: v for k, v in d.items() if k in _DRIVER_CHECKED}
+    return {**fresh, **seen}
+
+
+QUERIES = _unverified_first(QUERIES)
+ORACLES = _unverified_first(ORACLES)

@@ -24,13 +24,22 @@ N_MAX = 4
 # and the 200+-literal border predicates. Memoize it per
 # (SparkContext, sf_dir) as a localCheckpoint — the in-session analog
 # of materializing a `sentences` table once and running all mining
-# jobs against it (what a 100 TB deployment would do). Blocks are
-# freed when the context dies or the entry is GC'd.
-_PREP_MEMO: dict = {}
+# jobs against it (what a 100 TB deployment would do). Joined to the
+# shared bounded-sf_dir eviction policy (queries/__init__.py), so a
+# session sweeping many sf_dirs frees the older pins.
+from gocrawler_spark.queries import (
+    pin_memo_df,
+    register_memo,
+    touch_sf_dir,
+)
+
+_PREP_MEMO: dict = register_memo({})
 
 
 def _prepared(spark: SparkSession, sf_dir: str):
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    touch_sf_dir(app, sf_dir)
+    key = (app, sf_dir)
     df = _PREP_MEMO.get(key)
     if df is None:
         docs = load(spark, sf_dir, "documents")
@@ -40,7 +49,7 @@ def _prepared(spark: SparkSession, sf_dir: str):
         # expensive border-predicate projection and the per-level
         # mining scans, or both run single-task.
         sents = sents.repartition(spark.sparkContext.defaultParallelism)
-        df = NG.prepare_grams(sents, _CFG).localCheckpoint(eager=True)
+        df = pin_memo_df(spark, NG.prepare_grams(sents, _CFG))
         _PREP_MEMO[key] = df
     return df
 
