@@ -155,6 +155,7 @@ from gocrawler_spark.queries import html_q  # noqa: E402,F401
 from gocrawler_spark.queries import image_pipeline_q  # noqa: E402,F401
 from gocrawler_spark.queries import image_q  # noqa: E402,F401
 from gocrawler_spark.queries import anchor_q  # noqa: E402,F401
+from gocrawler_spark.queries import entity_q  # noqa: E402,F401
 from gocrawler_spark.queries import budget_q  # noqa: E402,F401
 from gocrawler_spark.queries import media_q  # noqa: E402,F401
 from gocrawler_spark.queries import mm_q  # noqa: E402,F401
