@@ -467,10 +467,14 @@ def _scale_state(spark: SparkSession):
             spark, test_profile(wave_size=8, per_host_budget=2)
         )
         st = eng.run(max_steps=8)
-        # detach the gate outputs from the engine's pin GC: localCheckpoint
-        # makes them self-contained for the rest of the session
+        # detach the gate outputs (frontier, visited log, corpus freqs
+        # for the golden run) as self-contained localCheckpoints, then
+        # RELEASE every engine pin — without this, each oracle-sweep
+        # session keeps the whole run's wave pins alive forever
         st.frontier = st.frontier.localCheckpoint(eager=True)
         st.crawl_log = st.crawl_log.localCheckpoint(eager=True)
+        st.corpus_freq = st.corpus_freq.localCheckpoint(eager=True)
+        eng.pins.release_all()
         _SCALE_STATE.clear()  # at most one pinned run per session
         _SCALE_STATE[key] = st
     return st
