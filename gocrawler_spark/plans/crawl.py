@@ -800,19 +800,33 @@ class CrawlEngine:
         compaction)."""
         if not self.use_cuckoo or self.state.cuckoo is None:
             raise ValueError("retire() requires use_cuckoo=True")
-        if self.store is not None:
-            # the parquet checkpoint shim persists pages/signatures as
-            # APPEND-ONLY delta segments; a resume would replay them
-            # without this retire's anti-join and resurrect the page.
-            # Iceberg row-level deletes are the production path; until
-            # the shim grows tombstone segments, fail loudly.
-            raise NotImplementedError(
-                "retire() with a checkpoint store needs tombstone "
-                "segments; run retirement on a non-checkpointed engine"
-            )
         st = self.state
         retired = self._pin(urls.select("url").distinct())
         self._live.append(retired)
+        if self.store is not None:
+            # Iceberg-style row-level delete for the parquet shim:
+            # flush every pending APPEND first (segment order is the
+            # apply order, so rows appended before the retire must
+            # land in earlier segments), then write the retired keys
+            # as a TOMBSTONE segment for each url-keyed family. The
+            # reader folds segments sequentially and anti-joins each
+            # tombstone against everything before it — a later
+            # re-fetch appends after the tombstone and survives.
+            self._flush_pending()
+            for fam in ("pages", "signatures"):
+                k = self._seg_counter.get(fam, 0)
+                seg = self.store.write_segment(
+                    fam, f"seg{k:06d}", retired, st.wave
+                )
+                if seg["row_count"] > 0:
+                    seg["kind"] = "tombstone"
+                    seg["key"] = "url"
+                    self._seg_counter[fam] = k + 1
+                    self._flushed_segs.setdefault(fam, []).append(seg)
+                else:
+                    import shutil
+
+                    shutil.rmtree(seg["path"], ignore_errors=True)
         st.cuckoo = self._pin(
             CK.delete(st.cuckoo, retired, n_shards=self.cuckoo_shards)
         )
@@ -878,6 +892,7 @@ class CrawlEngine:
             full_tables={
                 "frontier": st.frontier,
                 "bloom": st.bloom,
+                "cuckoo": st.cuckoo,
                 "robots": st.robots,
             },
             delta_segments={
@@ -920,6 +935,9 @@ class CrawlEngine:
         for name, df in tables.items():
             if name == "frontier":
                 eng._set_frontier(df)
+            elif name == "cuckoo":
+                if eng.use_cuckoo:
+                    st.cuckoo = eng._pin(df)
             elif name in ("bloom", "robots"):
                 if getattr(st, name, None) is not None:
                     setattr(st, name, eng._pin(df))
@@ -952,6 +970,21 @@ class CrawlEngine:
                     n_shards=eng.bloom_shards,
                     expected_keys_per_shard=eng._bloom_cap,
                     fpr=cfg.bloom_fpr,
+                )
+            )
+        if (
+            eng.use_cuckoo
+            and st.cuckoo is None
+            and "pages" in tables
+        ):
+            # snapshot predates the cuckoo table: rebuild EXACTLY from
+            # the page cache — the filter tracks precisely those keys,
+            # so this is reconstruction, not approximation
+            st.cuckoo = eng._pin(
+                CK.build(
+                    st.pages.select("url"),
+                    n_shards=eng.cuckoo_shards,
+                    expected_keys_per_shard=eng._cuckoo_cap,
                 )
             )
         st.wave = wave

@@ -108,11 +108,29 @@ class TableStore:
             committed = list(old.get("segments", [])) if (
                 old.get("mode") == "delta"
             ) else []
-            # crash-replay hygiene: drop committed segments from waves
-            # the engine is re-running (their rows will be re-flushed)
-            replay_from = min((s["wave"] for s in new_segs), default=None)
+            # crash-replay hygiene: drop committed DATA segments from
+            # waves the engine is re-running (their rows will be
+            # re-flushed). Tombstones are exempt on both sides: a
+            # tombstone's wave stamp must never clobber committed data
+            # of that wave, and a committed tombstone must survive
+            # replay — re-appended rows land AFTER it in segment
+            # order, so the sequential fold keeps them while the
+            # pre-tombstone rows stay deleted.
+            replay_from = min(
+                (
+                    s["wave"]
+                    for s in new_segs
+                    if s.get("kind") != "tombstone"
+                ),
+                default=None,
+            )
             if replay_from is not None:
-                committed = [s for s in committed if s["wave"] < replay_from]
+                committed = [
+                    s
+                    for s in committed
+                    if s["wave"] < replay_from
+                    or s.get("kind") == "tombstone"
+                ]
             entries[name] = {
                 "mode": "delta",
                 "segments": committed + list(new_segs),
@@ -169,17 +187,38 @@ class TableStore:
     def load_snapshot(self, spark: SparkSession) -> Optional[tuple[int, dict]]:
         """(wave, {table: DataFrame}) for the last committed snapshot,
         or None if no manifest exists. Delta tables come back as the
-        raw union of their segments (the engine re-aggregates the
-        additively-merged ones); tables with zero segments (nothing
-        ever appended) are omitted — the engine keeps its typed empty
-        base."""
+        SEQUENTIAL fold of their segments: data segments union in
+        commit order, and a tombstone segment (``kind: tombstone``,
+        written by CrawlEngine.retire) anti-joins its keys against
+        everything folded so far — rows appended after the tombstone
+        are untouched, the Iceberg row-level-delete apply order. The
+        engine re-aggregates the additively-merged tables; tables with
+        zero segments (nothing ever appended) are omitted — the engine
+        keeps its typed empty base."""
         m = self.read_manifest()
         if m is None:
             return None
         tables = {}
         for name, entry in m["tables"].items():
-            paths = [s["path"] for s in entry["segments"]]
-            if not paths:
+            segs = entry["segments"]
+            if not segs:
                 continue
-            tables[name] = spark.read.parquet(*paths)
+            df = None
+            plain = [s for s in segs if s.get("kind") != "tombstone"]
+            if not any(s.get("kind") == "tombstone" for s in segs):
+                # fast path: one multi-path reader, no fold
+                df = spark.read.parquet(*[s["path"] for s in plain])
+            else:
+                for s in segs:
+                    sdf = spark.read.parquet(s["path"])
+                    if s.get("kind") == "tombstone":
+                        if df is not None:
+                            key = s.get("key", "url")
+                            df = df.join(
+                                sdf.select(key), key, "left_anti"
+                            )
+                    else:
+                        df = sdf if df is None else df.unionByName(sdf)
+            if df is not None:
+                tables[name] = df
         return m["wave"], tables

@@ -67,3 +67,63 @@ def test_retire_requires_cuckoo(spark):
     eng.run(max_steps=1)
     with pytest.raises(ValueError, match="use_cuckoo"):
         eng.retire(eng.state.pages.select("url"))
+
+
+def test_retire_survives_checkpoint_resume(spark, tmp_path):
+    """Tombstone segments (Iceberg row-level-delete analog for the
+    parquet shim): a retire between checkpoints persists — the resumed
+    engine sees the page/signature gone, the frontier row pending, the
+    cuckoo seen-set without the key — and a post-resume re-fetch
+    appended AFTER the tombstone survives the NEXT resume too."""
+    cfg = _tp(wave_size=8, per_host_budget=2)
+    ckpt = str(tmp_path / "store")
+    eng = CrawlEngine(
+        spark, cfg, use_cuckoo=True, checkpoint_dir=ckpt
+    )
+    eng.run(max_steps=3)
+    retired = eng.retire_stalest(1)
+    url = retired.collect()[0]["url"]
+    eng.checkpoint()  # commits the tombstone + reset frontier + cuckoo
+
+    eng2 = CrawlEngine.resume(spark, cfg, ckpt, use_cuckoo=True)
+    st2 = eng2.state
+    assert st2.wave == 3
+    assert st2.pages.filter(F.col("url") == url).count() == 0
+    assert st2.signatures.filter(F.col("url") == url).count() == 0
+    row = st2.frontier.filter(F.col("url") == url).collect()[0]
+    assert row["status"] == 0
+    others = [
+        r["url"]
+        for r in st2.pages.select("url").limit(3).collect()
+    ]
+    pm = _probe_map(spark, eng2, [url] + others)
+    assert pm[url] is False
+    assert all(pm[u] for u in others)
+
+    # re-fetch on the resumed engine, checkpoint, resume AGAIN: the
+    # re-appended row lands after the tombstone and must survive
+    eng2.cfg = cfg.with_(wave_size=100_000, per_host_budget=0)
+    assert eng2.step()
+    eng2.checkpoint()
+    assert eng2.state.pages.filter(F.col("url") == url).count() == 1
+
+    eng3 = CrawlEngine.resume(spark, cfg, ckpt, use_cuckoo=True)
+    assert eng3.state.pages.filter(F.col("url") == url).count() == 1
+    assert _probe_map(spark, eng3, [url])[url] is True
+
+
+def test_resume_rebuilds_cuckoo_from_legacy_snapshot(spark, tmp_path):
+    """A snapshot written WITHOUT the cuckoo table (pre-retirement
+    checkpoints) resumes into an exact rebuild from the page cache —
+    the filter tracks precisely those keys."""
+    cfg = _tp(wave_size=8, per_host_budget=2)
+    ckpt = str(tmp_path / "store")
+    eng = CrawlEngine(spark, cfg, checkpoint_dir=ckpt)  # no cuckoo
+    eng.run(max_steps=2)
+    eng.checkpoint()
+
+    eng2 = CrawlEngine.resume(spark, cfg, ckpt, use_cuckoo=True)
+    fetched = [r["url"] for r in eng2.state.pages.select("url").collect()]
+    assert fetched
+    pm = _probe_map(spark, eng2, fetched)
+    assert all(pm.values())
