@@ -120,6 +120,12 @@ HEADLINE = [
     "dsir_resample_topk",
     "image_shard_packing",
     "crawl_polite_8waves",
+    # scale-mode gate family: wave8 pays the one memoized 8x8 engine
+    # run; visited + the golden-run chain read its pinned state
+    "crawl_scale_wave8",
+    "crawl_scale_visited",
+    "golden_run_noeng_top100",
+    "entity_freq_top32",
     "stem_spec_vocab",
     "stemmed_corpus_top100",
     "doc_length_quantiles",
