@@ -158,7 +158,7 @@ def test_engine_snapshot_files_match_state(spark, tmp_path):
     assert got == want
     pairs = [(int(cnt), tok) for cnt, tok, _, _ in lines]
     # W1 total order: count desc, ties token desc
-    assert pairs == sorted(pairs, key=lambda p: (-p[0], [-ord(c) for c in p[1]]))
+    assert pairs == sorted(pairs, reverse=True)  # desc count, desc token
 
 
 # --------------------------------------------------------------- W6
@@ -206,7 +206,7 @@ def test_golden_run_snapshot_files_byte_exact(spark, tmp_path):
     merged = _merge_ref(
         _load_corpus_ref(_CLASSICAL), _load_corpus_ref(_CONTEMP)
     )
-    order = sorted(corpus.items(), key=lambda t: (-t[1], [-ord(c) for c in t[0]]))
+    order = sorted(corpus.items(), key=lambda t: (t[1], t[0]), reverse=True)
     assert order[0][0] == "the", "anchor precondition"
     scale = float(1 + merged.get("the", 0)) / float(corpus["the"])
     noeng = {
@@ -214,7 +214,7 @@ def test_golden_run_snapshot_files_byte_exact(spark, tmp_path):
         for tok, cnt in corpus.items()
     }
     noeng_order = sorted(
-        noeng.items(), key=lambda t: (-t[1], [-ord(c) for c in t[0]])
+        noeng.items(), key=lambda t: (t[1], t[0]), reverse=True
     )
     want_allnum = "".join(f"{c} {t} none 0\n" for t, c in order)
     want_basic = "".join(f"{c} {t}\n" for t, c in noeng_order)

@@ -115,9 +115,12 @@ class TestProperties:
             list(freqs.items()), "token string, count long"
         )
         got = [(r["token"], r["count"]) for r in CO.top_k(df, k).collect()]
+        # NB: reverse=True of (count, token) is the correct "desc
+        # count, desc token" — the tuple(-ord(c)) trick is WRONG for
+        # prefix pairs ('a' vs 'aa': string DESC ranks 'aa' first,
+        # negated ords rank 'a' first; hypothesis found it)
         want = sorted(
-            freqs.items(),
-            key=lambda kv: (-kv[1], tuple(-ord(c) for c in kv[0])),
+            freqs.items(), key=lambda kv: (kv[1], kv[0]), reverse=True
         )[:k]
         assert got == want
 

@@ -11,10 +11,7 @@ def test_cms_overcount_one_sided_and_ordered(spark):
     assert all(r["overcount"] >= 0 for r in rows)
     assert all(r["est_cms"] == r["exact_cnt"] + r["overcount"] for r in rows)
     # deterministic total order: exact_cnt desc, token desc on ties
-    keys = [(-r["exact_cnt"], _desc(r["token"])) for r in rows]
-    assert keys == sorted(keys)
-
-
-def _desc(s: str):
-    # sort helper that inverts lexicographic order
-    return tuple(-ord(c) for c in s)
+    # (reverse=True of the ascending pair — NOT the negated-ord trick,
+    # which misorders prefix pairs like 'a'/'aa')
+    keys = [(r["exact_cnt"], r["token"]) for r in rows]
+    assert keys == sorted(keys, reverse=True)
