@@ -175,12 +175,20 @@ CAND_ROWS = FRONTIER_ROWS // 2
 
 
 def build_spark(cpus: int):
+    import atexit
+    import shutil
     import tempfile
 
     from pyspark.sql import SparkSession
 
     from gocrawler_spark.plans.bucketed import apply_confs
 
+    # the warehouse holds the synthetic bucketed frontier table
+    # (~GBs at sweep row counts); reclaim it when this process exits —
+    # a multi-JVM --scaling sweep would otherwise accumulate one
+    # frontier-sized dir per JVM and can fill the disk
+    wh = tempfile.mkdtemp(prefix="bench_wh_")
+    atexit.register(shutil.rmtree, wh, ignore_errors=True)
     return (
         apply_confs(
             SparkSession.builder.master(f"local[{cpus}]")
@@ -190,9 +198,7 @@ def build_spark(cpus: int):
             .config("spark.driver.memory", "48g")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.ui.enabled", "false")
-            .config(
-                "spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="bench_wh_")
-            )
+            .config("spark.sql.warehouse.dir", wh)
         )
         .getOrCreate()
     )
@@ -300,13 +306,30 @@ def frontier_throughput(spark, warmup: bool = True, reps: int = 5) -> dict:
         pins = PinSet(spark)
         t0 = time.time()
         sel = bf.select_wave(dc, wave_size=100_000, per_host_budget=4)
-        n_sel = sel.count()
         # max_seq is tracked engine state metadata, not a per-wave agg
         merged = bf.merge(cand, pin=pins.pin, base=FRONTIER_ROWS)
-        n_after = merged.count()
+        # ONE fused driver action for both wave pipelines (an engine
+        # commits a wave as one job): counting them separately serializes
+        # two driver actions whose fixed planning/scheduling latency does
+        # not shrink with cores — measured as the dominant term of the
+        # per-run constant f in the strong-scaling fit (BENCH/BASELINE.md
+        # "Reading the pinned curve"). The seq checksum keeps each leg's
+        # result order-DEPENDENT so Catalyst cannot elide the selection
+        # sort under the fused count (verified via explain: the plan
+        # keeps TakeOrderedAndProject + both merge joins).
+        rows = (
+            sel.select(F.lit("sel").alias("leg"), F.col("seq").alias("v"))
+            .unionByName(
+                merged.select(F.lit("merged").alias("leg"), F.col("seq").alias("v"))
+            )
+            .groupBy("leg")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("chk"))
+            .collect()
+        )
         dt = time.time() - t0
         pins.release_all()
-        return dt, n_sel, n_after
+        counts = {r["leg"]: r["n"] for r in rows}
+        return dt, counts["sel"], counts["merged"]
 
     if warmup:
         run_once()
