@@ -98,14 +98,22 @@ def empty_frontier(spark: SparkSession) -> DataFrame:
 
 def bootstrap_frontier(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
     """linkBootstraping (crawler.go:472-478): seed rows, status 4,
-    validated with avoidCustomCheck=True but exempt from ban filters."""
-    rows = [(u, i) for i, u in enumerate(cfg.bootstrapping_links)]
-    df = spark.createDataFrame(rows, "url string, seq long")
+    validated with avoidCustomCheck=True but exempt from ban filters.
+
+    Duplicate seeds merge through addLink's count++ on re-sight
+    (crawler.go:455-459): one pool entry per distinct URL, count =
+    occurrences, seq = first-sight order — NOT one row per list entry
+    (duplicate url keys would corrupt every later url-keyed merge)."""
+    merged: dict[str, int] = {}
+    for u in cfg.bootstrapping_links:
+        merged[u] = merged.get(u, 0) + 1
+    rows = [(u, c, i) for i, (u, c) in enumerate(merged.items())]
+    df = spark.createDataFrame(rows, "url string, count long, seq long")
     df = df.filter(U.link_seems_ok(F.col("url"), cfg, avoid_custom_check=True))
     return df.select(
         "url",
         U.domain_of(F.col("url")).alias("domain"),
-        F.lit(1).cast("long").alias("count"),
+        "count",
         F.lit(4).alias("status"),
         "seq",
         F.lit(True).alias("eligible"),  # status-4 selection skips checks

@@ -398,7 +398,14 @@ class WaveOracle(ReferenceOracle):
     def bootstrap(self):
         for l in self.cfg.bootstrapping_links:
             if pyref.link_seems_ok(l, True, self.cfg):
-                self._add_pool(l, pyref.get_domain(l), 1, 4)
+                if l in self.index:
+                    # add_link's merge on re-sight (crawler.go:455-459):
+                    # a duplicate seed raises count, never duplicates
+                    # the pool — same semantics as ReferenceOracle's
+                    # bootstrap-through-add_link
+                    self.index[l].count += 1
+                else:
+                    self._add_pool(l, pyref.get_domain(l), 1, 4)
 
     def _select_epoch(self) -> list[tuple[int, PoolEntry]]:
         cfg = self.cfg

@@ -771,7 +771,7 @@ class CrawlEngine:
             )
         )
 
-    def retire(self, urls: DataFrame) -> None:
+    def retire(self, urls: DataFrame) -> DataFrame:
         """The RECRAWL wave's retirement half: make the given fetched
         URLs crawlable again (north_rule: the frontier 'retires URLs
         (re-crawl after TTL, host removed by policy, page gone 410)').
@@ -798,8 +798,13 @@ class CrawlEngine:
         Returns the pinned retired-key frame (kept live: the rewritten
         pages/signatures views anti-join against it until the next
         compaction)."""
-        if not self.use_cuckoo or self.state.cuckoo is None:
+        if not self.use_cuckoo:
             raise ValueError("retire() requires use_cuckoo=True")
+        if self.state.cuckoo is None:
+            raise ValueError(
+                "retire() before any fetched wave: the cuckoo seen-set "
+                "is only built once a wave has fetched"
+            )
         st = self.state
         retired = self._pin(urls.select("url").distinct())
         self._live.append(retired)
@@ -859,17 +864,22 @@ class CrawlEngine:
         return retired
 
     def retire_stalest(self, k: int) -> DataFrame:
-        """Staleness-ranked retirement: pick the k OK pages fetched
-        longest ago (min crawl_log wave, url tiebreak — the engine's
-        age signal; a production deployment would rank by the λ·age
-        model of queries/freshness_q.py over its change history) and
-        retire them. Returns the retired key frame."""
+        """Staleness-ranked retirement: pick the k OK pages whose most
+        RECENT successful fetch is oldest (max crawl_log wave, url
+        tiebreak — the engine's age signal; a production deployment
+        would rank by the λ·age model of queries/freshness_q.py over
+        its change history) and retire them. max, not min: the
+        crawl_log is append-only history, so a retired-then-refetched
+        URL gains a new wave row — ranking by its FIRST fetch would
+        keep it 'stalest' forever and repeated retire_stalest calls
+        would loop on the same URL instead of advancing to the
+        next-oldest page. Returns the retired key frame."""
         stale = (
             self.state.crawl_log.filter(F.col("status_after") == 2)
             .groupBy("url")
-            .agg(F.min("wave").alias("first_wave"))
+            .agg(F.max("wave").alias("last_wave"))
             .join(self.state.pages.select("url"), "url", "left_semi")
-            .orderBy(F.asc("first_wave"), F.asc("url"))
+            .orderBy(F.asc("last_wave"), F.asc("url"))
             .limit(k)
             .select("url")
         )

@@ -124,6 +124,19 @@ def release_memo_df(df: DataFrame) -> None:
 
 
 def memo_result(fn):
+    """Memoize a query's pinned result per (app_id, sf_dir).
+
+    LIFETIME CONTRACT (localCheckpoint is non-reliable): a frame
+    returned by a memoized query — or anything lazily derived from
+    it — stays valid only until `MEMO_MAX_SF_DIRS` NEWER sf_dirs have
+    been touched on the same SparkContext. Eviction frees the pinned
+    blocks through the JVM persistent-RDD registry, so a later action
+    on a frame held across that boundary fails with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Callers interleaving ≥3 sf_dirs
+    must either re-invoke the query at use time (re-memoizes and
+    re-pins) or raise MEMO_MAX_SF_DIRS before the sweep. The round
+    driver and bench run one sf_dir per session and never hit this."""
+
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         app = spark.sparkContext.applicationId
         touch_sf_dir(app, sf_dir)
@@ -179,32 +192,53 @@ from gocrawler_spark.queries import text_q  # noqa: E402,F401
 # round come FIRST, so a driver that samples a prefix of the registry
 # verifies the never-checked set before re-verifying known-green ones.
 # Every query stays registered either way; this is pure iteration
-# order. Names below = union of CORRECTNESS_r01/r02 green rows.
+# order. Names below = union of CORRECTNESS_r01/r02/r03 green rows
+# (r02 and r03 were disjoint 50-query samples; 15 registered queries
+# have never had a driver-green row and therefore order first).
 _DRIVER_CHECKED = {
-    "ann_ivf_topk", "ann_ivfpq_topk", "ann_lsh_buckets",
-    "ann_pq_adc_topk", "ann_recall_at_k", "audio_features_summary",
-    "audio_metadata_stats", "background_subtract", "baseline_merge",
-    "bigrams_top100", "corpus_freq_top100", "crawl_frontier_5waves",
-    "crawl_polite_8waves", "curation_verdict", "decontaminate_overlap",
-    "dedup_clusters", "dedup_exact", "dedup_ngram_jaccard",
-    "doc_fingerprint", "doc_signature", "doc_token_stats",
-    "embedding_cosine_near_dups", "embedding_dedup_clusters",
-    "embedding_knn", "events_hourly", "events_sessionize",
-    "events_top_purchasers", "frontier_priority_topk",
-    "gopher_quality_filter", "host_inlink_stats", "host_quality_stats",
-    "html_extract_stats", "image_metadata_stats",
-    "image_phash_near_dups", "image_resize_summary",
-    "image_sharpness_stats", "image_validate_summary",
-    "keyword_ranking", "lang_id_heuristic", "minhash_bands",
-    "minhash_incremental_probe", "minhash_jaccard_estimate",
-    "minhash_lsh_pairs", "ngrams_pruned_2to4", "oov_quality",
+    "anchor_text_stats", "ann_ivf_topk", "ann_ivfpq_topk",
+    "ann_lsh_buckets", "ann_pq_adc_topk", "ann_recall_at_k",
+    "background_subtract", "baseline_merge", "bigrams_top100",
+    "bm25_topk", "caption_decontaminate", "cms_heavy_hitters",
+    "corpus_freq_top100", "crawl_budget_allocation",
+    "crawl_frontier_5waves", "crawl_polite_8waves",
+    "crawl_scale_visited", "crawl_scale_wave8", "curation_verdict",
+    "decontaminate_overlap", "dedup_clusters", "dedup_exact",
+    "dedup_ngram_jaccard", "doc_signature", "doc_token_stats",
+    "domain_mixture_weights", "dsir_importance_weights",
+    "dsir_resample_topk", "embedding_cosine_near_dups",
+    "embedding_dedup_clusters", "embedding_knn", "entity_freq_top32",
+    "events_attribution_asof", "events_pagerank",
+    "events_rollup_multi", "events_sessionize",
+    "events_value_range_join", "frontier_priority_topk",
+    "golden_run_noeng_top100", "gopher_quality_filter",
+    "host_inlink_stats", "host_quality_stats", "html_extract_stats",
+    "image_ar_buckets", "image_bucketed_enrich", "image_byte_dedup",
+    "image_caption_alignment", "image_caption_dedup",
+    "image_caption_provenance", "image_compaction_stats",
+    "image_curation_filter", "image_dedup_clusters",
+    "image_embedding_near_dups", "image_exposure_stats",
+    "image_metadata_stats", "image_model_scores", "image_patch_tokens",
+    "image_phash_near_dups", "image_privacy_strip",
+    "image_quality_funnel", "image_resize_summary",
+    "image_shard_packing", "image_sharpness_stats",
+    "image_validate_summary", "inverted_index_stats",
+    "keyword_ranking", "kmeans_semdedup", "lang_id_heuristic",
+    "minhash_bands", "minhash_incremental_probe",
+    "minhash_jaccard_estimate", "minhash_lsh_pairs",
+    "multimodal_packing", "multimodal_quality_funnel",
+    "ngrams_pruned_2to4", "ngrams_pruned_2to5", "oov_quality",
     "opic_priorities", "pii_scrub_stats", "quality_score",
     "recrawl_priority", "redirect_resolution", "repetition_stats",
-    "sample_stratified", "signature_dedup", "simhash32",
-    "simhash_near_dups", "span_dedup_coverage", "stopword_ratio_band",
-    "token_count_bpe", "tpch_q1_pricing", "tpch_q3_toporders",
-    "tpch_q5_region_revenue", "trigrams_bounded", "unigram_lm_nll",
-    "url_validate", "video_frame_sample_motion", "video_metadata_stats",
+    "robots_parse_verdicts", "sample_stratified", "signature_dedup",
+    "simhash32", "simhash_near_dups", "sitemap_seed_stats",
+    "span_dedup_coverage", "stem_spec_vocab", "stemmed_corpus_top100",
+    "stopword_ratio_band", "streaming_corpus_top100",
+    "streaming_dedup_drops", "streaming_image_ingest",
+    "streaming_scored_ingest", "tfidf_topterms", "token_count_bpe",
+    "trigrams_bounded", "unigram_lm_nll", "url_validate",
+    "warc_cdx_lookup_stats", "warc_revisit_stats",
+    "warc_roundtrip_stats", "wds_export_stats",
 }
 
 

@@ -327,18 +327,34 @@ _CONTEMP = _fx("bnc_contemporary.num")
 _NUM_COLS = "{'num_total': 'BIGINT', 'token': 'VARCHAR', 'pos': 'VARCHAR', 'num_docs': 'BIGINT'}"
 
 
+def _first_wins_sql(path: str) -> str:
+    """The reference's per-file dedup (corpusfreqlib.go:88-91) restated
+    for DuckDB, matching operators/corpus.dedup_first_wins exactly: the
+    FIRST nonzero-count line per token wins; if every line for the
+    token is zero-count, the LAST line stands. row_number() OVER ()
+    follows file order (DuckDB preserves insertion order for CSV
+    scans). Stating the line rule here — instead of a MAX(num_total)
+    that only coincides on frequency-sorted files — keeps the oracle
+    honest for regenerated or unsorted .num fixtures."""
+    return f"""
+  SELECT token,
+         COALESCE(
+           arg_min(num_total, line_no) FILTER (WHERE num_total <> 0),
+           arg_max(num_total, line_no)
+         ) AS num_total
+  FROM (
+    SELECT token, num_total, row_number() OVER () AS line_no
+    FROM read_csv('{path}', delim=' ', header=false, columns={_NUM_COLS})
+  )
+  GROUP BY token"""
+
+
 @register(
     "baseline_merge",
     f"""
-WITH eng AS (
-  SELECT token, MAX(num_total) AS num_total
-  FROM read_csv('{_CLASSICAL}', delim=' ', header=false, columns={_NUM_COLS})
-  GROUP BY token
+WITH eng AS ({_first_wins_sql(_CLASSICAL)}
 ),
-cont AS (
-  SELECT token, MAX(num_total) AS num_total
-  FROM read_csv('{_CONTEMP}', delim=' ', header=false, columns={_NUM_COLS})
-  GROUP BY token
+cont AS ({_first_wins_sql(_CONTEMP)}
 ),
 factor AS (
   SELECT (SELECT CAST(num_total AS DOUBLE) FROM eng WHERE token = 'the')
@@ -550,15 +566,9 @@ WITH corpus AS (
   SELECT token, CAST(count AS BIGINT) AS count
   FROM read_csv('{_SCALE_CORPUS_W8}', header=true)
 ),
-eng AS (
-  SELECT token, MAX(num_total) AS num_total
-  FROM read_csv('{_CLASSICAL}', delim=' ', header=false, columns={_NUM_COLS})
-  GROUP BY token
+eng AS ({_first_wins_sql(_CLASSICAL)}
 ),
-cont AS (
-  SELECT token, MAX(num_total) AS num_total
-  FROM read_csv('{_CONTEMP}', delim=' ', header=false, columns={_NUM_COLS})
-  GROUP BY token
+cont AS ({_first_wins_sql(_CONTEMP)}
 ),
 factor AS (
   SELECT (SELECT CAST(num_total AS DOUBLE) FROM eng WHERE token = 'the')

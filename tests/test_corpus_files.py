@@ -64,6 +64,42 @@ def test_first_wins_dedup_reference_rule(spark, tmp_path):
     assert got == want == {"alpha": 10, "beta": 7, "gamma": 0}
 
 
+def test_first_wins_oracle_sql_matches_engine_on_unsorted_file(
+    spark, tmp_path
+):
+    """The DuckDB-oracle dedup must state the reference's
+    first-nonzero-line-wins rule itself (corpusfreqlib.go:88-91), not a
+    MAX(num_total) that only coincides with it on frequency-sorted
+    files: engine, oracle SQL, and the Python transliteration must
+    agree on a file that is NOT frequency-sorted."""
+    import duckdb
+
+    from gocrawler_spark.queries.crawler_q import _first_wins_sql
+
+    p = str(tmp_path / "u.num")
+    with open(p, "w") as f:
+        f.write(
+            "0 alpha at0 1\n"   # zero holds the slot...
+            "5 beta nn1 1\n"
+            "7 alpha at0 2\n"   # ...first NONZERO wins (7, not max 9)
+            "9 alpha at0 3\n"
+            "0 gamma nn1 1\n"
+            "0 gamma nn1 2\n"   # all-zero: last line stands
+            "3 beta nn1 9\n"    # later smaller value loses to first 5
+        )
+    eng = {
+        r["token"]: r["num_total"]
+        for r in CO.dedup_first_wins(CO.load_corpus_file(spark, p)).collect()
+    }
+    sql = dict(
+        duckdb.sql(
+            "SELECT token, num_total FROM (" + _first_wins_sql(p) + ")"
+        ).fetchall()
+    )
+    ref = {w: v[0] for w, v in _load_corpus_ref(p).items()}
+    assert eng == sql == ref == {"alpha": 7, "beta": 5, "gamma": 0}
+
+
 def test_baseline_merge_matches_reference_semantics(spark):
     c = CO.load_corpus_file(spark, _CLASSICAL)
     m = CO.load_corpus_file(spark, _CONTEMP)

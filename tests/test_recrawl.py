@@ -61,6 +61,13 @@ def test_retire_refetch_exactly_once(spark):
     assert eng.state.pages.filter(F.col("url") == url).count() == 1
     assert _probe_map(spark, eng, [url])[url] is True
 
+    # staleness ranks by the most RECENT fetch: the just-refetched URL
+    # is now the freshest page, so the next retire_stalest must advance
+    # to the next-oldest URL instead of looping on the same one
+    retired2 = eng.retire_stalest(1)
+    url2 = retired2.collect()[0]["url"]
+    assert url2 != url
+
 
 def test_retire_requires_cuckoo(spark):
     eng = CrawlEngine(spark, _tp(wave_size=1))
