@@ -125,6 +125,8 @@ HEADLINE = [
     "crawl_scale_wave8",
     "crawl_scale_visited",
     "golden_run_noeng_top100",
+    # retire -> checkpoint -> resume -> recrawl engine gate (own run)
+    "crawl_recrawl_wave",
     "entity_freq_top32",
     "stem_spec_vocab",
     "stemmed_corpus_top100",

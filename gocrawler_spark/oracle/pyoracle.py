@@ -564,3 +564,35 @@ class WaveOracle(ReferenceOracle):
             if not self.step_wave():
                 break
         return self.res
+
+    # ---- retirement (the recrawl wave's enabler) ----------------------
+    def retire(self, urls) -> list[str]:
+        """Model CrawlEngine.retire (plans/crawl.py): per retired URL —
+        page cache evicted (so the next selection re-fetches), its P5
+        signature row dropped (else the refreshed content would be
+        rejected as a near-dup of itself), pool status 2/3 -> 0 with
+        count and seq preserved. Append-only history (visited log,
+        domain/fail counters, corpus freqs) is deliberately untouched:
+        a recrawl is a new observation, not a retraction."""
+        retired = sorted(set(urls))
+        for u in retired:
+            self.cache.pop(u, None)
+            self.res.seen_urls.discard(u)  # the cuckoo-delete analog
+            e = self.index.get(u)
+            if e is not None and e.status in (2, 3):
+                e.status = 0
+        drop = {s for s, u in self.unique_signature.items() if u in retired}
+        for s in drop:
+            del self.unique_signature[s]
+        return retired
+
+    def retire_stalest(self, k: int) -> list[str]:
+        """Model CrawlEngine.retire_stalest: the k cached pages whose
+        most RECENT successful fetch is oldest (max visited wave with
+        status 2, url tiebreak)."""
+        last: dict[str, int] = {}
+        for wave, url, st in self.visited:
+            if st == 2 and url in self.cache:
+                last[url] = max(last.get(url, 0), wave)
+        stale = sorted(last.items(), key=lambda t: (t[1], t[0]))[:k]
+        return self.retire([u for u, _ in stale])

@@ -613,6 +613,93 @@ def golden_run_noeng_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RECRAWL gate (round-3 verdict "Next round" #2): the newest engine
+# surface — cuckoo-backed retirement with checkpoint tombstones
+# (plans/crawl.py retire/retire_stalest) — under the driver oracle the
+# same way crawl_scale_wave8 gates scale mode. Chain: fresh 8×8 scale
+# run → retire the 2 stalest pages → CHECKPOINT (commits the tombstone
+# segments) → RESUME from disk → one more wave. The oracle fixture
+# comes from the extended WaveOracle's retire_stalest + step_wave
+# (regenerate with scripts/regen_crawl_fixtures.py); ok_fetches pins
+# "the retired URL is re-fetched exactly ONCE more", and rows for the
+# retired-but-outprioritized URL pin retirement × selection-priority
+# interaction. Routing the final wave through resume() makes the gate
+# fail if tombstones don't survive the store round trip.
+_RECRAWL_W9 = _fx("crawl_recrawl_w9.csv")
+
+_RECRAWL_STATE: dict = {}
+
+
+def _recrawl_frontier(spark: SparkSession) -> DataFrame:
+    key = spark.sparkContext.applicationId
+    df = _RECRAWL_STATE.get(key)
+    if df is None:
+        import shutil
+        import tempfile
+
+        from gocrawler_spark.config import test_profile
+        from gocrawler_spark.plans.crawl import CrawlEngine
+
+        cfg = test_profile(wave_size=8, per_host_budget=2)
+        ckpt = tempfile.mkdtemp(prefix="recrawl_gate_")
+        try:
+            eng = CrawlEngine(
+                spark, cfg, use_cuckoo=True, checkpoint_dir=ckpt
+            )
+            eng.run(max_steps=8)
+            eng.retire_stalest(2)
+            eng.checkpoint()  # tombstones + reset frontier hit disk
+            eng.pins.release_all()
+            eng2 = CrawlEngine.resume(spark, cfg, ckpt, use_cuckoo=True)
+            if not eng2.step():  # the recrawl wave (wave 9)
+                raise RuntimeError("recrawl wave selected nothing")
+            st = eng2.state
+            ok = (
+                st.crawl_log.filter(F.col("status_after") == 2)
+                .groupBy("url")
+                .agg(F.count(F.lit(1)).alias("n_ok"))
+            )
+            df = (
+                st.frontier.join(ok, "url", "left")
+                .select(
+                    "url",
+                    "domain",
+                    F.col("count").cast("long").alias("count"),
+                    F.col("status").cast("int").alias("status"),
+                    F.col("seq").cast("long").alias("seq"),
+                    F.coalesce(F.col("n_ok"), F.lit(0))
+                    .cast("long")
+                    .alias("ok_fetches"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            eng2.pins.release_all()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+        _RECRAWL_STATE.clear()  # at most one pinned run per session
+        _RECRAWL_STATE[key] = df
+    return df
+
+
+@register(
+    "crawl_recrawl_wave",
+    f"""
+SELECT url, domain, CAST(count AS BIGINT) AS count,
+       CAST(status AS INT) AS status, CAST(seq AS BIGINT) AS seq,
+       CAST(ok_fetches AS BIGINT) AS ok_fetches
+FROM read_csv('{_RECRAWL_W9}', header=true)
+""",
+)
+def crawl_recrawl_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retire → checkpoint → resume → recrawl under the oracle gate:
+    the final frontier after 8 scale waves + retire_stalest(2) + one
+    resumed wave — counts/seqs preserved through retirement, statuses
+    exact, and per-URL OK-fetch totals proving the refetched-exactly-
+    once property — must equal the extended WaveOracle's."""
+    return _recrawl_frontier(spark)
+
+
+# ---------------------------------------------------------------------------
 @register(
     "bigrams_top100",
     f"""

@@ -75,3 +75,30 @@ if __name__ == "__main__":
         for tok in sorted(worc.res.corpus_freqs):
             w.writerow([tok, worc.res.corpus_freqs[tok]])
     print(f"wrote {cpath} ({len(worc.res.corpus_freqs)} rows)")
+
+    # RECRAWL gate: a FRESH 8-wave scale run -> retire the 2 stalest
+    # pages -> one more wave (the retired URLs must be re-fetched
+    # exactly once, with counts/seqs preserved and statuses back to 2).
+    # The fixture carries per-URL OK-fetch totals so the gate pins the
+    # "exactly once more" property, not just final frontier statuses.
+    worc2 = WaveOracle(scfg, SW.fetch_page)
+    worc2.run(max_iters=8)
+    retired = worc2.retire_stalest(2)
+    assert worc2.step_wave(), "recrawl wave must select something"
+    ok_fetches: dict[str, int] = {}
+    for _, url, st in worc2.visited:
+        if st == 2:
+            ok_fetches[url] = ok_fetches.get(url, 0) + 1
+    rpath = os.path.join(FIXTURES, "crawl_recrawl_w9.csv")
+    with open(rpath, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["url", "domain", "count", "status", "seq", "ok_fetches"])
+        for i, e in enumerate(worc2.pool):
+            w.writerow(
+                [e.url, e.domain, e.count, e.status, i,
+                 ok_fetches.get(e.url, 0)]
+            )
+    print(
+        f"wrote {rpath} ({len(worc2.pool)} rows; retired={retired}; "
+        f"refetched={[u for u in retired if ok_fetches.get(u, 0) > 1]})"
+    )

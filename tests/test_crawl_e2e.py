@@ -247,6 +247,40 @@ def test_scale_fixtures_fresh():
     ] == worc.visited
 
 
+def test_recrawl_fixture_fresh():
+    """The committed crawl_recrawl_w9.csv equals a fresh extended-
+    WaveOracle run (8 waves -> retire_stalest(2) -> one more wave) —
+    pure Python, no Spark. Also asserts the fixture's semantic core:
+    at least one retired URL is re-fetched exactly once more, and
+    retirement preserved count/seq while resetting status."""
+    import csv
+
+    from gocrawler_spark.fixtures import fixture_path
+    from gocrawler_spark.oracle.pyoracle import WaveOracle
+
+    worc = WaveOracle(_tp(wave_size=8, per_host_budget=2), SW.fetch_page)
+    worc.run(max_iters=8)
+    retired = worc.retire_stalest(2)
+    assert worc.step_wave()
+    ok_fetches = {}
+    for _, url, st in worc.visited:
+        if st == 2:
+            ok_fetches[url] = ok_fetches.get(url, 0) + 1
+
+    with open(fixture_path("crawl_recrawl_w9.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert [
+        (r["url"], r["domain"], int(r["count"]), int(r["status"]),
+         int(r["seq"]), int(r["ok_fetches"]))
+        for r in rows
+    ] == [
+        (e.url, e.domain, e.count, e.status, i, ok_fetches.get(e.url, 0))
+        for i, e in enumerate(worc.pool)
+    ]
+    assert len(retired) == 2
+    assert any(ok_fetches.get(u, 0) == 2 for u in retired)
+
+
 def test_wave_oracle_w1_matches_reference_oracle():
     """At wave_size=1 the epoch relaxation collapses back to the
     sequential reference semantics for the VISITED SET: the WaveOracle
