@@ -17,8 +17,12 @@ flat numeric order key:
 2. cumsum WITHIN each bucket: window partitioned by bucket — fully
    parallel, each task sees ~n/n_buckets rows;
 3. per-bucket totals: one row per bucket (n_buckets ≈ thousands, not
-   billions) through a small ordered window → each bucket's global
-   starting offset;
+   billions); each bucket's global starting offset = the sum of all
+   strictly-smaller buckets' totals via a broadcast theta-join —
+   O(n_buckets²) tiny pairs, NO single-partition window anywhere in
+   the plan (even a window over n_buckets rows plans a
+   single-partition WindowExec and fires Spark's "No Partition
+   Defined" warning);
 4. broadcast the offsets back onto the buckets.
 
 The result is byte-identical to the global window whenever the order
@@ -28,8 +32,8 @@ global window, so unique keys are a documented precondition.
 
 Cost: one extra small shuffle (step 3's n_buckets rows) versus the
 global window's serial bottleneck. At 1e10 rows with 4096 buckets each
-task cumsums ~2.4M rows — embarrassingly parallel; the serial section
-is the 4096-row offset window.
+task cumsums ~2.4M rows — embarrassingly parallel; step 3 is ~16M
+broadcast-joined pairs, also parallel.
 """
 
 from __future__ import annotations
@@ -70,21 +74,22 @@ def exclusive_prefix_sum(
         F.sum(F.col(val_col)).over(in_bucket) - F.col(val_col),
     )
 
-    # one row per bucket -> tiny ordered window for the global offsets
+    # one row per bucket -> global offsets. Not an ordered window: even
+    # over n_buckets rows, Window.orderBy() plans a single-partition
+    # WindowExec and Spark's "No Partition Defined" warning fires —
+    # indistinguishable in logs from a real row-scale scale-killer. A
+    # broadcast theta-join cumulative (sum of all strictly-smaller
+    # buckets' totals) is O(n_buckets²) pairs ≈ 1M rows at the default
+    # 1024 — trivially parallel, and the plan carries no
+    # single-partition stage at all.
+    tot = b.groupBy("__bucket").agg(F.sum(F.col(val_col)).alias("__tot"))
+    prior = tot.select(
+        F.col("__bucket").alias("__b2"), F.col("__tot").alias("__tot2")
+    )
     totals = (
-        b.groupBy("__bucket")
-        .agg(F.sum(F.col(val_col)).alias("__tot"))
-        .withColumn(
-            "__offset",
-            F.coalesce(
-                F.sum("__tot").over(
-                    Window.orderBy("__bucket").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
+        tot.join(F.broadcast(prior), F.col("__b2") < F.col("__bucket"), "left")
+        .groupBy("__bucket")
+        .agg(F.coalesce(F.sum("__tot2"), F.lit(0)).alias("__offset"))
         .select("__bucket", "__offset")
     )
 

@@ -1,0 +1,148 @@
+"""Real-codec contract (round-3 verdict "Next round" #7): the stubbed
+decode_jpeg import-try is a SEAM, not a wall. Inject a stand-in PIL
+through the exact import the stub performs (`from PIL import Image`)
+— shipped to the Python workers with addPyFile, since mapInPandas
+batches decode in worker processes, not the driver — and assert the
+UNCHANGED production chain (decode → PSNR-validate → phash → enrich)
+runs end-to-end on fmt='jpg' payloads with no engine edits.
+
+The stand-in "JPEG codec" decodes this repo's deterministic lossy
+qjpg container, so the PSNR≥40dB floor and phash recompute are
+exercised for real (quantized pixels vs re-rendered reference).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gocrawler_spark.operators import images as IM
+from gocrawler_spark.sources import synthetic_images as SI
+from gocrawler_spark.sources.synthetic_web import _sentence, h64
+
+_FAKE_PIL = '''\
+"""Stand-in PIL for the codec-contract test: implements exactly the
+surface decode_jpeg uses (Image.open(file_obj).convert("RGB") ->
+array-like). Decodes the repo's deterministic qjpg container."""
+from gocrawler_spark.sources.synthetic_images import decode_qjpg
+
+
+class _Img:
+    def __init__(self, arr):
+        self._arr = arr
+
+    def convert(self, mode):
+        assert mode == "RGB"
+        return self._arr  # np.asarray() of an ndarray is itself
+
+
+class _ImageModule:
+    @staticmethod
+    def open(fp):
+        return _Img(decode_qjpg(fp.read()))
+
+
+Image = _ImageModule()
+'''
+
+
+@pytest.fixture(scope="module")
+def jpeg_session(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("fakepil") / "PIL.py"
+    p.write_text(_FAKE_PIL)
+    # reaches every Python worker's sys.path (and the driver's);
+    # harmless beyond this test — nothing else imports PIL, and the
+    # stand-in fails loudly on anything but qjpg bytes
+    spark.sparkContext.addPyFile(str(p))
+    return spark
+
+
+def _jpg_rows(n=6, w=24, h=16, seed=42):
+    rows = []
+    for i in range(n):
+        iid = f"img-jpgc-{i}"
+        px = SI.render_pixels(iid, w, h, seed)
+        data = SI.encode_qjpg(px)  # the payload our "real codec" reads
+        decoded = SI.decode_qjpg(data)
+        rows.append(
+            {
+                "image_id": iid,
+                "bytes": bytearray(data),
+                "w": w,
+                "h": h,
+                "fmt": "jpg",  # routes through decode_jpeg -> PIL
+                "caption": _sentence(h64(iid, "cap", seed=seed), 12, 4, 3),
+                "phash": np.int64(SI.ahash64(decoded)).item(),
+            }
+        )
+    return rows
+
+
+def test_decode_jpeg_uses_injected_codec(jpeg_session):
+    """Driver-side: the import-try resolves the injected module and the
+    decode is bit-exact with the stand-in codec."""
+    px = SI.render_pixels("seam-check", 8, 8)
+    data = SI.encode_qjpg(px)
+    out = SI.decode_jpeg(data)
+    assert np.array_equal(out, SI.decode_qjpg(data))
+
+
+def test_jpg_payloads_validate_through_unchanged_chain(jpeg_session):
+    """validate_images on fmt='jpg' rows: decode_ok, dims_ok, the
+    LOSSY branch (PSNR >= 40dB vs the re-rendered reference, not exact
+    equality), caption equality, phash recompute — all green, with the
+    decode running inside mapInPandas workers."""
+    spark = jpeg_session
+    df = spark.createDataFrame(
+        pd.DataFrame(_jpg_rows()),
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    got = IM.validate_images(df).collect()
+    assert len(got) == 6
+    for r in got:
+        assert r["decode_ok"] and r["dims_ok"], r
+        assert r["pixels_ok"] and r["caption_ok"] and r["phash_ok"], r
+        # lossy: finite PSNR >= floor, but NOT exact (quantized)
+        assert r["psnr_db"] is not None and r["psnr_db"] >= 40.0, r
+
+
+def test_jpg_payloads_enrich_through_unchanged_chain(jpeg_session):
+    """The enrichment stages (grid features for embedding near-dups,
+    Laplacian sharpness) consume fmt='jpg' rows without modification —
+    one decode per payload in the workers, metadata-only output."""
+    spark = jpeg_session
+    df = spark.createDataFrame(
+        pd.DataFrame(_jpg_rows()),
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    feats = IM.grid_features(df).collect()
+    assert len(feats) == 6 and all(len(r["feat"]) == 16 for r in feats)
+    sharp = IM.score_sharpness(df).collect()
+    assert {r["fmt"] for r in sharp} == {"jpg"}
+    assert all(r["lapvar_milli"] >= 0 for r in sharp)
+
+
+def test_without_codec_the_stub_fails_loudly(spark):
+    """Control: in a worker WITHOUT the injected module the seam raises
+    NotImplementedError (not a silent wrong answer). Checked
+    driver-side by simulating the absent import."""
+    import builtins
+    import sys
+
+    real_import = builtins.__import__
+    saved = {k: sys.modules.pop(k) for k in list(sys.modules) if k == "PIL"}
+
+    def no_pil(name, *a, **kw):
+        if name == "PIL":
+            raise ImportError("No module named 'PIL'")
+        return real_import(name, *a, **kw)
+
+    builtins.__import__ = no_pil
+    try:
+        with pytest.raises(NotImplementedError, match="qjpg"):
+            SI.decode_jpeg(b"\xff\xd8\xff\xe0 not really a jpeg")
+    finally:
+        builtins.__import__ = real_import
+        sys.modules.update(saved)

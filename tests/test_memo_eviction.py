@@ -57,3 +57,75 @@ def test_prep_memo_registered_for_eviction():
 
     assert any(m is ngram_q._PREP_MEMO for m in Q._MEMO_REGISTRY)
     assert any(m is Q._RESULT_MEMO for m in Q._MEMO_REGISTRY)
+
+
+def test_sweep_pin_steady_state(spark):
+    """Pin-leak regression at sweep scale (round-3 verdict "Next
+    round" #8): after running the heaviest pin-creating queries —
+    memo-payers (prepared-gram relation, shingle relation, curation
+    gates) plus the engine-gate family incl. the recrawl gate — a
+    SECOND pass over the same queries must create ZERO new persistent
+    RDDs (reruns hit the pinned memos), and everything the first pass
+    pinned must be accounted for by the tracked pin registry plus the
+    fixed handful of detached engine-state frames. An untracked pin
+    would show up as growth here long before it OOMs a 121-query
+    sweep."""
+    sf = "/root/testdata/sf0.001"
+    names = [
+        "trigrams_bounded",      # ngram prepared-gram memo
+        "minhash_lsh_pairs",     # shingle-relation memo
+        "curation_verdict",      # curation gate tables
+        "crawl_scale_wave8",     # scale engine run (pinned state)
+        "crawl_scale_visited",   # reads the same pinned state
+        "crawl_recrawl_wave",    # retire->resume engine run
+    ]
+    import gc
+    import time
+
+    def settle() -> int:
+        """Persistent-RDD count once the async ContextCleaner has
+        drained: the un-memoized shingle-relation localCheckpoint is
+        freed through Python GC -> py4j detach -> JVM weak refs, so
+        force both GCs and poll until the count stops falling."""
+        gc.collect()
+        prev = _persistent_rdd_count(spark)
+        stable = 0
+        for _ in range(40):
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.5)
+            cur = _persistent_rdd_count(spark)
+            stable = stable + 1 if cur == prev else 0
+            prev = cur
+            if stable >= 3:
+                break
+        return prev
+
+    c0 = _persistent_rdd_count(spark)
+    tracked0 = sum(len(ids) for _, ids, _ in Q._PIN_IDS.values())
+
+    for n in names:
+        Q.QUERIES[n](spark, sf).count()
+    c1 = settle()
+    tracked1 = sum(len(ids) for _, ids, _ in Q._PIN_IDS.values())
+
+    for n in names:
+        Q.QUERIES[n](spark, sf).count()
+    c2 = settle()
+
+    for n in names:
+        Q.QUERIES[n](spark, sf).count()
+    c3 = settle()
+
+    # Memoized stages pin nothing on rerun; the shingle-relation
+    # rerun pin must be GC-collected. The environment may retain one
+    # frame generation, so the invariant is NO GROWTH ACROSS REPEATED
+    # PASSES — an accumulating pin gains one per pass and fails here
+    # long before it OOMs a 121-query sweep.
+    assert c3 <= c2, (c1, c2, c3)
+    assert c2 <= c1 + 1, (c1, c2, c3)
+    # every first-pass pin is either in the tracked registry (memo
+    # eviction can free it) or one of the fixed detached engine-state
+    # frames (3 scale-state + 1 recrawl-state localCheckpoints, plus
+    # small slack for their internal pinned dims)
+    untracked = (c1 - c0) - (tracked1 - tracked0)
+    assert untracked <= 8, (c0, c1, tracked0, tracked1)

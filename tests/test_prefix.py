@@ -50,8 +50,11 @@ def test_single_row_and_zero_values(spark):
 
 
 def test_no_single_partition_window_in_plan(spark):
-    """The row-scale window must be partitioned; only the per-bucket
-    offset window (one row per bucket) may be global."""
+    """NO unpartitioned window anywhere in the plan: the row-scale
+    cumsum is partitioned by __bucket, and the per-bucket offsets are
+    a broadcast theta-join cumulative, not an ordered window — so
+    Spark's "No Partition Defined for Window" warning can never fire
+    from this operator (round-3 verdict nit #1)."""
     df = spark.range(1000).select(
         F.col("id").alias("k"), (F.col("id") % 7).alias("v")
     )
@@ -61,16 +64,12 @@ def test_no_single_partition_window_in_plan(spark):
         .executedPlan()
         .toString()
     )
-    # exactly one unpartitioned Window is allowed: the offsets window
-    # over the per-bucket totals (n_buckets rows, sits above the
-    # HashAggregate); the row-scale cumsum must be partitioned by
-    # __bucket
     import re
 
     windows = re.findall(r"Window \[[^\]]*\], (\[[^\]]*\])", plan)
     unpartitioned = [w for w in windows if w == "[]"]
     bucketed = [w for w in windows if "__bucket" in w]
-    assert len(unpartitioned) <= 1, plan
+    assert not unpartitioned, plan
     assert bucketed, plan
 
 

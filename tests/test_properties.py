@@ -176,3 +176,45 @@ class TestProperties:
                 ]
             )
         assert sels[0] == sels[1]
+
+
+def test_scale_engine_partitioning_invariance(spark):
+    """The scale-mode engine's RESULT must not depend on
+    spark.sql.shuffle.partitions: the decomposed seq assignment and the
+    wave-barrier signature first-wins are exactly the code that could
+    silently pick up a partition-count dependence (round-3 verdict
+    "Next round" #4). Run the 8x8 loop at 4 and at 64 shuffle
+    partitions and assert the frontier and visited relations are
+    identical."""
+    from gocrawler_spark.config import test_profile
+    from gocrawler_spark.plans.crawl import CrawlEngine
+    from tests.conftest import session_confs
+
+    def run(nparts):
+        with session_confs(
+            spark, {"spark.sql.shuffle.partitions": str(nparts)}
+        ):
+            eng = CrawlEngine(
+                spark, test_profile(wave_size=8, per_host_budget=2)
+            )
+            st = eng.run(max_steps=8)
+            frontier = sorted(
+                (r["url"], r["domain"], r["count"], r["status"], r["seq"])
+                for r in st.frontier.select(
+                    "url", "domain", "count", "status", "seq"
+                ).collect()
+            )
+            visited = sorted(
+                (r["wave"], r["url"], r["status_after"])
+                for r in st.crawl_log.select(
+                    "wave", "url", "status_after"
+                ).collect()
+            )
+            eng.pins.release_all()
+            return frontier, visited
+
+    f4, v4 = run(4)
+    f64, v64 = run(64)
+    assert f4 == f64
+    assert v4 == v64
+    assert len(f4) > 100 and len(v4) >= 50  # the run actually ran
