@@ -143,8 +143,14 @@ def image_upsert(state_path: str, psnr_floor: float = 40.0, score: bool = False)
                 "accepted", "psnr_db"
             )
             rejected = joined.filter(~F.col("accepted")).drop("accepted")
-            n_acc = accepted.count()
-            n_rej = rejected.count()
+            # ONE bookkeeping action per micro-batch, not one per
+            # split: both emptiness decisions come from a single
+            # aggregate over the persisted batch
+            row = joined.agg(
+                F.count(F.when(F.col("accepted"), 1)).alias("n_acc"),
+                F.count(F.when(~F.col("accepted"), 1)).alias("n_rej"),
+            ).first()
+            n_acc, n_rej = row["n_acc"], row["n_rej"]
             dirs = list(man["dirs"])
             rejs = list(man["reject_dirs"])
             scds = list(man.get("score_dirs", []))

@@ -101,10 +101,17 @@ def warc_upsert(state_path: str):
             rejected = parsed.filter(~F.col("digest_ok")).drop("digest_ok")
             dirs = list(man["dirs"])
             rejs = list(man["reject_dirs"])
-            if accepted.count():
+            # ONE bookkeeping action per micro-batch, not one per
+            # split (the batch is persisted, but each count is still a
+            # driver action round trip)
+            row = parsed.agg(
+                F.count(F.when(F.col("digest_ok"), 1)).alias("n_acc"),
+                F.count(F.when(~F.col("digest_ok"), 1)).alias("n_rej"),
+            ).first()
+            if row["n_acc"]:
                 accepted.write.mode("overwrite").parquet(acc_dir)
                 dirs.append(acc_dir)
-            if rejected.count():
+            if row["n_rej"]:
                 rejected.write.mode("overwrite").parquet(rej_dir)
                 rejs.append(rej_dir)
             tmp = os.path.join(state_path, "." + _MANIFEST + ".tmp")
