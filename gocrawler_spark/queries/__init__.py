@@ -188,65 +188,91 @@ from gocrawler_spark.queries import warc_q  # noqa: E402,F401
 from gocrawler_spark.queries import text_q  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Registry ordering: queries with NO green driver-gate row in any past
-# round come FIRST, so a driver that samples a prefix of the registry
-# verifies the never-checked set before re-verifying known-green ones.
-# Every query stays registered either way; this is pure iteration
-# order. Names below = union of CORRECTNESS_r01/r02/r03 green rows
-# (r02 and r03 were disjoint 50-query samples; 15 registered queries
-# have never had a driver-green row and therefore order first).
-_DRIVER_CHECKED = {
-    "anchor_text_stats", "ann_ivf_topk", "ann_ivfpq_topk",
-    "ann_lsh_buckets", "ann_pq_adc_topk", "ann_recall_at_k",
-    "background_subtract", "baseline_merge", "bigrams_top100",
-    "bm25_topk", "caption_decontaminate", "cms_heavy_hitters",
-    "corpus_freq_top100", "crawl_budget_allocation",
-    "crawl_frontier_5waves", "crawl_polite_8waves",
-    "crawl_scale_visited", "crawl_scale_wave8", "curation_verdict",
-    "decontaminate_overlap", "dedup_clusters", "dedup_exact",
-    "dedup_ngram_jaccard", "doc_signature", "doc_token_stats",
-    "domain_mixture_weights", "dsir_importance_weights",
-    "dsir_resample_topk", "embedding_cosine_near_dups",
-    "embedding_dedup_clusters", "embedding_knn", "entity_freq_top32",
-    "events_attribution_asof", "events_pagerank",
-    "events_rollup_multi", "events_sessionize",
-    "events_value_range_join", "frontier_priority_topk",
-    "golden_run_noeng_top100", "gopher_quality_filter",
-    "host_inlink_stats", "host_quality_stats", "html_extract_stats",
-    "image_ar_buckets", "image_bucketed_enrich", "image_byte_dedup",
-    "image_caption_alignment", "image_caption_dedup",
-    "image_caption_provenance", "image_compaction_stats",
-    "image_curation_filter", "image_dedup_clusters",
-    "image_embedding_near_dups", "image_exposure_stats",
-    "image_metadata_stats", "image_model_scores", "image_patch_tokens",
-    "image_phash_near_dups", "image_privacy_strip",
-    "image_quality_funnel", "image_resize_summary",
-    "image_shard_packing", "image_sharpness_stats",
-    "image_validate_summary", "inverted_index_stats",
-    "keyword_ranking", "kmeans_semdedup", "lang_id_heuristic",
-    "minhash_bands", "minhash_incremental_probe",
-    "minhash_jaccard_estimate", "minhash_lsh_pairs",
-    "multimodal_packing", "multimodal_quality_funnel",
-    "ngrams_pruned_2to4", "ngrams_pruned_2to5", "oov_quality",
-    "opic_priorities", "pii_scrub_stats", "quality_score",
-    "recrawl_priority", "redirect_resolution", "repetition_stats",
-    "robots_parse_verdicts", "sample_stratified", "signature_dedup",
-    "simhash32", "simhash_near_dups", "sitemap_seed_stats",
-    "span_dedup_coverage", "stem_spec_vocab", "stemmed_corpus_top100",
-    "stopword_ratio_band", "streaming_corpus_top100",
-    "streaming_dedup_drops", "streaming_image_ingest",
-    "streaming_scored_ingest", "tfidf_topterms", "token_count_bpe",
-    "trigrams_bounded", "unigram_lm_nll", "url_validate",
-    "warc_cdx_lookup_stats", "warc_revisit_stats",
-    "warc_roundtrip_stats", "wds_export_stats",
+# Registry ordering: OLDEST driver evidence first. Every registered
+# query has had at least one green driver-gate row (rows+schema+hash)
+# by round 4, so the earlier never-checked-first ordering degenerated:
+# a driver that samples a 50-row prefix would re-verify the same fresh
+# set forever while the other 72 queries' evidence aged. Ordering
+# ascending by the round of each query's NEWEST green row rotates the
+# sample — every query gets a fresh driver row at least every
+# ~ceil(122/50) rounds. Queries absent from the map (future additions)
+# default to round 0 and therefore order first, preserving the
+# never-checked-first property. Every query stays registered either
+# way; this is pure iteration order. Values below = max round with a
+# green row in CORRECTNESS_r01..r04 (r01: 6, r02: 19, r03: 47,
+# r04: 50 — disjoint 50-query samples after r01).
+_LAST_GREEN_ROUND = {
+    # r01
+    "events_sessionize": 1, "lang_id_heuristic": 1,
+    "ngrams_pruned_2to4": 1, "quality_score": 1, "token_count_bpe": 1,
+    "trigrams_bounded": 1,
+    # r02
+    "curation_verdict": 2, "decontaminate_overlap": 2,
+    "dedup_clusters": 2, "embedding_dedup_clusters": 2,
+    "host_inlink_stats": 2, "host_quality_stats": 2,
+    "html_extract_stats": 2, "image_metadata_stats": 2,
+    "image_phash_near_dups": 2, "image_resize_summary": 2,
+    "image_sharpness_stats": 2, "image_validate_summary": 2,
+    "opic_priorities": 2, "pii_scrub_stats": 2, "recrawl_priority": 2,
+    "redirect_resolution": 2, "sample_stratified": 2,
+    "span_dedup_coverage": 2, "unigram_lm_nll": 2,
+    # r03
+    "anchor_text_stats": 3, "bm25_topk": 3, "caption_decontaminate": 3,
+    "cms_heavy_hitters": 3, "crawl_budget_allocation": 3,
+    "domain_mixture_weights": 3, "dsir_importance_weights": 3,
+    "dsir_resample_topk": 3, "entity_freq_top32": 3,
+    "events_attribution_asof": 3, "events_pagerank": 3,
+    "events_rollup_multi": 3, "events_value_range_join": 3,
+    "image_ar_buckets": 3, "image_bucketed_enrich": 3,
+    "image_byte_dedup": 3, "image_caption_alignment": 3,
+    "image_caption_dedup": 3, "image_caption_provenance": 3,
+    "image_compaction_stats": 3, "image_curation_filter": 3,
+    "image_dedup_clusters": 3, "image_embedding_near_dups": 3,
+    "image_exposure_stats": 3, "image_model_scores": 3,
+    "image_patch_tokens": 3, "image_privacy_strip": 3,
+    "image_quality_funnel": 3, "image_shard_packing": 3,
+    "inverted_index_stats": 3, "kmeans_semdedup": 3,
+    "multimodal_packing": 3, "multimodal_quality_funnel": 3,
+    "ngrams_pruned_2to5": 3, "robots_parse_verdicts": 3,
+    "sitemap_seed_stats": 3, "stem_spec_vocab": 3,
+    "stemmed_corpus_top100": 3, "streaming_corpus_top100": 3,
+    "streaming_dedup_drops": 3, "streaming_image_ingest": 3,
+    "streaming_scored_ingest": 3, "tfidf_topterms": 3,
+    "warc_cdx_lookup_stats": 3, "warc_revisit_stats": 3,
+    "warc_roundtrip_stats": 3, "wds_export_stats": 3,
+    # r04
+    "ann_ivf_topk": 4, "ann_ivfpq_topk": 4, "ann_lsh_buckets": 4,
+    "ann_pq_adc_topk": 4, "ann_recall_at_k": 4,
+    "audio_features_summary": 4, "audio_metadata_stats": 4,
+    "background_subtract": 4, "baseline_merge": 4, "bigrams_top100": 4,
+    "bpe_token_stats": 4, "corpus_freq_top100": 4,
+    "crawl_frontier_5waves": 4, "crawl_polite_8waves": 4,
+    "crawl_recrawl_wave": 4, "crawl_scale_visited": 4,
+    "crawl_scale_wave8": 4, "dedup_exact": 4, "dedup_ngram_jaccard": 4,
+    "doc_fingerprint": 4, "doc_length_quantiles": 4, "doc_signature": 4,
+    "doc_token_stats": 4, "embedding_cosine_near_dups": 4,
+    "embedding_knn": 4, "events_hourly": 4, "events_top_purchasers": 4,
+    "frontier_priority_topk": 4, "golden_run_noeng_top100": 4,
+    "gopher_quality_filter": 4, "hll_distinct_shingles": 4,
+    "keyword_ranking": 4, "minhash_bands": 4,
+    "minhash_incremental_probe": 4, "minhash_jaccard_estimate": 4,
+    "minhash_lsh_pairs": 4, "oov_quality": 4, "repetition_stats": 4,
+    "sequence_packing": 4, "signature_dedup": 4, "simhash32": 4,
+    "simhash_near_dups": 4, "stopword_ratio_band": 4,
+    "tpch_q1_pricing": 4, "tpch_q3_toporders": 4,
+    "tpch_q5_region_revenue": 4, "url_trap_scores": 4,
+    "url_validate": 4, "video_frame_sample_motion": 4,
+    "video_metadata_stats": 4,
 }
 
 
-def _unverified_first(d: dict) -> dict:
-    fresh = {k: v for k, v in d.items() if k not in _DRIVER_CHECKED}
-    seen = {k: v for k, v in d.items() if k in _DRIVER_CHECKED}
-    return {**fresh, **seen}
+
+def _oldest_evidence_first(d: dict) -> dict:
+    # stable sort: ties (same round) keep registration order
+    return dict(
+        sorted(d.items(), key=lambda kv: _LAST_GREEN_ROUND.get(kv[0], 0))
+    )
 
 
-QUERIES = _unverified_first(QUERIES)
-ORACLES = _unverified_first(ORACLES)
+QUERIES = _oldest_evidence_first(QUERIES)
+ORACLES = _oldest_evidence_first(ORACLES)
