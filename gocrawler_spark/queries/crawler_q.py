@@ -324,18 +324,17 @@ from gocrawler_spark.fixtures import fixture_path as _fx
 _CLASSICAL = _fx("bnc_classical.num")
 _CONTEMP = _fx("bnc_contemporary.num")
 
-_NUM_COLS = "{'num_total': 'BIGINT', 'token': 'VARCHAR', 'pos': 'VARCHAR', 'num_docs': 'BIGINT'}"
-
-
 def _first_wins_sql(path: str) -> str:
     """The reference's per-file dedup (corpusfreqlib.go:88-91) restated
     for DuckDB, matching operators/corpus.dedup_first_wins exactly: the
     FIRST nonzero-count line per token wins; if every line for the
-    token is zero-count, the LAST line stands. row_number() OVER ()
-    follows file order (DuckDB preserves insertion order for CSV
-    scans). Stating the line rule here — instead of a MAX(num_total)
-    that only coincides on frequency-sorted files — keeps the oracle
-    honest for regenerated or unsorted .num fixtures."""
+    token is zero-count, the LAST line stands. line_no is derived from
+    the DATA (read_text + indexed list_transform over the split
+    lines), not from row_number() OVER () — an empty OVER () only
+    follows file order while DuckDB's preserve_insertion_order setting
+    is on, and memory-pressure configs turn it off (ADVICE r4). The
+    "%d %s %s %d" line format is parsed with split_part (field 1 =
+    num_total, field 2 = token)."""
     return f"""
   SELECT token,
          COALESCE(
@@ -343,8 +342,19 @@ def _first_wins_sql(path: str) -> str:
            arg_max(num_total, line_no)
          ) AS num_total
   FROM (
-    SELECT token, num_total, row_number() OVER () AS line_no
-    FROM read_csv('{path}', delim=' ', header=false, columns={_NUM_COLS})
+    SELECT CAST(split_part(u.line, ' ', 1) AS BIGINT) AS num_total,
+           split_part(u.line, ' ', 2) AS token,
+           u.line_no
+    FROM (
+      SELECT unnest(
+               list_transform(
+                 string_split(content, chr(10)),
+                 (x, i) -> struct_pack(line := x, line_no := i)
+               )
+             ) AS u
+      FROM read_text('{path}')
+    )
+    WHERE trim(u.line) <> ''
   )
   GROUP BY token"""
 

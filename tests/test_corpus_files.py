@@ -98,6 +98,19 @@ def test_first_wins_oracle_sql_matches_engine_on_unsorted_file(
     )
     ref = {w: v[0] for w, v in _load_corpus_ref(p).items()}
     assert eng == sql == ref == {"alpha": 7, "beta": 5, "gamma": 0}
+    # the oracle's line numbering must come from the DATA, not from
+    # scan order: with preserve_insertion_order=false (DuckDB's
+    # memory-pressure config) an empty OVER () returns arbitrary order
+    # and a scan-order-based line_no silently evaluates the first-wins
+    # rule over it (ADVICE r4)
+    con = duckdb.connect()
+    con.execute("SET preserve_insertion_order=false")
+    unordered = dict(
+        con.execute(
+            "SELECT token, num_total FROM (" + _first_wins_sql(p) + ")"
+        ).fetchall()
+    )
+    assert unordered == ref
 
 
 def test_baseline_merge_matches_reference_semantics(spark):
