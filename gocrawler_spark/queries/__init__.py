@@ -110,11 +110,7 @@ def touch_sf_dir(app_id: str, sf_dir: str) -> None:
                 release_memo_df(memo.pop(mk))
 
 
-def release_memo_df(df: DataFrame) -> None:
-    ent = _PIN_IDS.pop(id(df), None)
-    if ent is None:
-        return
-    _, ids, spark = ent
+def _free_pin_ids(spark, ids) -> None:
     try:
         from gocrawler_spark.pins import _unpersist_ids
 
@@ -123,19 +119,41 @@ def release_memo_df(df: DataFrame) -> None:
         pass  # context already stopped
 
 
+def release_memo_df(df: DataFrame) -> None:
+    ent = _PIN_IDS.pop(id(df), None)
+    if ent is None:
+        return
+    _, ids, spark = ent
+    # DEFER the JVM-registry free until the frame itself is
+    # unreachable: eviction can run while a caller still holds the
+    # returned frame (a sweep interleaving >= 3 sf_dirs), and freeing
+    # under it failed the caller's next action with
+    # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. weakref.finalize fires at
+    # refcount-zero, so in the common unheld case (the memo dict held
+    # the only reference) the blocks are freed synchronously on the
+    # spot, exactly as the eager free did — test_memo_eviction's
+    # count-based assertions still hold.
+    import weakref
+
+    weakref.finalize(df, _free_pin_ids, spark, ids)
+
+
 def memo_result(fn):
     """Memoize a query's pinned result per (app_id, sf_dir).
 
-    LIFETIME CONTRACT (localCheckpoint is non-reliable): a frame
-    returned by a memoized query — or anything lazily derived from
-    it — stays valid only until `MEMO_MAX_SF_DIRS` NEWER sf_dirs have
-    been touched on the same SparkContext. Eviction frees the pinned
-    blocks through the JVM persistent-RDD registry, so a later action
-    on a frame held across that boundary fails with
-    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Callers interleaving ≥3 sf_dirs
-    must either re-invoke the query at use time (re-memoizes and
-    re-pins) or raise MEMO_MAX_SF_DIRS before the sweep. The round
-    driver and bench run one sf_dir per session and never hit this."""
+    LIFETIME CONTRACT (localCheckpoint is non-reliable): once
+    `MEMO_MAX_SF_DIRS` NEWER sf_dirs have been touched on the same
+    SparkContext, the memo entry is evicted — but the pinned blocks
+    are freed only when the RETURNED frame itself becomes unreachable
+    (weakref deferral in release_memo_df), so a caller interleaving
+    ≥3 sf_dirs may keep using a held frame safely; it just stops being
+    served from the memo. The one remaining hazard: holding ONLY a
+    frame lazily DERIVED from the returned one (the derived plan does
+    not reference the returned Python object) while dropping the
+    returned frame — keep the returned frame alive alongside any
+    derived lineage, or re-invoke the query at use time. The round
+    driver and bench run one sf_dir per session and never hit any of
+    this."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         app = spark.sparkContext.applicationId

@@ -129,3 +129,42 @@ def test_sweep_pin_steady_state(spark):
     # small slack for their internal pinned dims)
     untracked = (c1 - c0) - (tracked1 - tracked0)
     assert untracked <= 8, (c0, c1, tracked0, tracked1)
+
+
+def test_held_frame_survives_interleaved_three_sf_dir_sweep(spark):
+    """The memo lifetime deferral (round-5): a frame returned before
+    its sf_dir is evicted must stay actionable while held — eviction
+    drops it from the memo but the JVM-registry free waits (weakref)
+    until the frame is unreachable. Before the deferral this failed
+    with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND."""
+    import gc
+
+    @Q.memo_result
+    def sweep_fn(s, sf_dir):
+        return s.range(5)
+
+    app = spark.sparkContext.applicationId
+    saved_recency = list(Q._SF_RECENCY)
+    Q._SF_RECENCY.clear()
+    try:
+        base_pins = _persistent_rdd_count(spark)
+        held = sweep_fn(spark, "/tmp/sfA")
+        # interleave two more sf_dirs -> sfA evicted from the memo
+        sweep_fn(spark, "/tmp/sfB")
+        sweep_fn(spark, "/tmp/sfC")
+        assert (app, "/tmp/sfA", "sweep_fn") not in Q._RESULT_MEMO
+        # the held frame still acts (blocks deferred, not freed)
+        assert held.count() == 5
+        assert sorted(r.id for r in held.collect()) == [0, 1, 2, 3, 4]
+        # a revisit of sfA recomputes rather than resurrecting the pin
+        again = sweep_fn(spark, "/tmp/sfA")
+        assert again is not held
+        # ...and once the held frame drops, its blocks are freed
+        del held
+        gc.collect()
+        assert _persistent_rdd_count(spark) == base_pins + 2
+    finally:
+        for k in [k for k in Q._RESULT_MEMO if k[2] == "sweep_fn"]:
+            Q.release_memo_df(Q._RESULT_MEMO.pop(k))
+        Q._SF_RECENCY.clear()
+        Q._SF_RECENCY.extend(saved_recency)
