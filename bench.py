@@ -615,6 +615,25 @@ def main_bench():
     # queries 6x slower than their quiet-window costs), and a single
     # leading sample would misattribute that to the code
     canary = noise_canary(spark)
+    # CANARY GUARD (round-5): the r4 closing suite ran under ~2x host
+    # contention (start canary 0.537 s vs the 0.28-0.35 s quiet
+    # reference) and its analytics subtotal recorded a phantom +22%
+    # that a quiet re-timing fully dissolved. If the start canary
+    # exceeds 1.5x the quiet reference, wait and re-sample a few
+    # times; if the box never quiets, still emit the JSON but flag it
+    # host_contended so the subtotals are not read as a regression
+    # base. The reference only applies at >=8 cores (the canary
+    # parallelizes; measured quiet mins are ~flat 0.28-0.42 s across
+    # local[8..32], but a 2-core canary is intrinsically slower).
+    quiet_ref = float(os.environ.get("BENCH_CANARY_QUIET_REF", "0.30"))
+    contended = CPUS >= 8 and canary["min_sec"] > 1.5 * quiet_ref
+    if contended:
+        for _ in range(int(os.environ.get("BENCH_CANARY_RETRIES", "3"))):
+            time.sleep(30)
+            canary = noise_canary(spark)
+            if canary["min_sec"] <= 1.5 * quiet_ref:
+                contended = False
+                break
     fr = frontier_throughput(spark)
     bl = bloom_throughput(spark)
     ck = cuckoo_throughput(spark)
@@ -646,6 +665,11 @@ def main_bench():
                 "queries": q,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "host_canary": canary,
+                # True = suite ran on a box the canary guard could not
+                # quiet; do NOT use this run's subtotals as a
+                # round-over-round comparison base (see r4 postmortem)
+                "host_contended": contended,
+                "canary_quiet_ref_sec": quiet_ref,
                 "frontier": fr,
                 "bloom": bl,
                 "cuckoo": ck,

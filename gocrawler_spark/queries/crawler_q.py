@@ -482,17 +482,36 @@ _SCALE_STATE: dict = {}
 def _scale_state(spark: SparkSession):
     """One 8×8 scale-mode engine run per session; both scale-gate
     queries read its pinned state (frontier + crawl_log) — the same
-    materialize-once pattern as memo_result, keyed on applicationId."""
+    materialize-once pattern as memo_result, keyed on applicationId.
+
+    The run also commits ONE wave-8 checkpoint to a session-lifetime
+    temp dir (`st.scale_ckpt_dir`): the recrawl gate branches from it
+    via CrawlEngine.resume instead of recomputing the same eight waves
+    (round-4 verdict "Next round" #4 — the two gates repeated the run
+    back to back, 55% of the bench suite). checkpoint_every is set
+    beyond the run so the waves themselves pay zero persistence
+    actions; the single post-run checkpoint flushes every delta family
+    once."""
     key = spark.sparkContext.applicationId
     st = _SCALE_STATE.get(key)
     if st is None:
+        import atexit
+        import shutil
+        import tempfile
+
         from gocrawler_spark.config import test_profile
         from gocrawler_spark.plans.crawl import CrawlEngine
 
+        ckpt = tempfile.mkdtemp(prefix="scale_gate_ckpt_")
+        atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
         eng = CrawlEngine(
-            spark, test_profile(wave_size=8, per_host_budget=2)
+            spark,
+            test_profile(wave_size=8, per_host_budget=2),
+            checkpoint_dir=ckpt,
+            checkpoint_every=10**9,
         )
         st = eng.run(max_steps=8)
+        eng.checkpoint()  # one commit: the recrawl gate's branch point
         # detach the gate outputs (frontier, visited log, corpus freqs
         # for the golden run) as self-contained localCheckpoints, then
         # RELEASE every engine pin — without this, each oracle-sweep
@@ -501,6 +520,7 @@ def _scale_state(spark: SparkSession):
         st.crawl_log = st.crawl_log.localCheckpoint(eager=True)
         st.corpus_freq = st.corpus_freq.localCheckpoint(eager=True)
         eng.pins.release_all()
+        st.scale_ckpt_dir = ckpt
         _SCALE_STATE.clear()  # at most one pinned run per session
         _SCALE_STATE[key] = st
     return st
@@ -651,12 +671,23 @@ def _recrawl_frontier(spark: SparkSession) -> DataFrame:
         from gocrawler_spark.plans.crawl import CrawlEngine
 
         cfg = test_profile(wave_size=8, per_host_budget=2)
+        # BRANCH from the scale gate's wave-8 checkpoint instead of
+        # recomputing the same eight waves (round-4 verdict #4): the
+        # chain becomes resume → retire_stalest(2) → checkpoint →
+        # resume → wave 9. Exact-resume is itself gated
+        # (tests/test_resume.py), so the branched chain verifies the
+        # SAME retire/tombstone/recrawl surface against the unchanged
+        # WaveOracle fixture; the cuckoo the fixture chain built
+        # per-wave is reconstructed exactly from the restored page
+        # cache (CrawlEngine.resume's snapshot-predates-cuckoo path —
+        # same key set by definition). The dir is COPIED first so the
+        # shared scale checkpoint stays a pristine wave-8 snapshot.
+        src = _scale_state(spark).scale_ckpt_dir
         ckpt = tempfile.mkdtemp(prefix="recrawl_gate_")
         try:
-            eng = CrawlEngine(
-                spark, cfg, use_cuckoo=True, checkpoint_dir=ckpt
-            )
-            eng.run(max_steps=8)
+            shutil.rmtree(ckpt)
+            shutil.copytree(src, ckpt)
+            eng = CrawlEngine.resume(spark, cfg, ckpt, use_cuckoo=True)
             eng.retire_stalest(2)
             eng.checkpoint()  # tombstones + reset frontier hit disk
             eng.pins.release_all()
