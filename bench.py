@@ -275,8 +275,8 @@ def frontier_throughput(spark, warmup: bool = True, reps: int = 5) -> dict:
     one-sided multi-second scheduling stalls unrelated to the plan
     (measured: identical back-to-back runs of 1s jobs spike to 9-17s
     with JVM GC logs showing <1s pauses), and min is the standard
-    noise-robust estimator of intrinsic job cost. Per-rep persisted
-    frames are unpersisted so reps don't accumulate cache garbage.
+    noise-robust estimator of intrinsic job cost. Per-rep pins are
+    freed via PinSet so reps don't accumulate block-manager garbage.
 
     Physical shape: the frontier is read from its domain-bucketed,
     (domain, url)-sorted table (plans/bucketed.py) — exactly how the
@@ -285,6 +285,7 @@ def frontier_throughput(spark, warmup: bool = True, reps: int = 5) -> dict:
     Exchange and the merge joins scan the frontier in place."""
     from pyspark.sql import functions as F
 
+    from gocrawler_spark.pins import PinSet
     from gocrawler_spark.plans.bucketed import BucketedFrontier
 
     # AQE OFF for the frontier segment (env-overridable): the job's
@@ -292,7 +293,7 @@ def frontier_throughput(spark, warmup: bool = True, reps: int = 5) -> dict:
     # shuffle partitions, wave-sized candidate exchange — so AQE has
     # nothing to re-plan, but it turns every runtime query stage into
     # its own Spark job: the round-4 job audit measured 10 jobs / 21
-    # stages per rep under AQE vs 2 with it off (identical results,
+    # stages per rep under AQE vs 4 with it off (identical results,
     # asserted by tests/test_bench_contract.py). Per-job driver
     # scheduling latency is the dominant term of the non-scaling
     # constant f in the strong-scaling fit (BENCH/BASELINE.md), so
@@ -348,23 +349,20 @@ def frontier_throughput(spark, warmup: bool = True, reps: int = 5) -> dict:
     rep_counter = iter(range(10_000))
 
     def run_once():
-        # The wave commits as ONE fused driver action (see the leg
-        # union below); inside it, the anti-join result that the seq
-        # assignment consumes twice is deduped by a LAZY persist
-        # instead of the engine's eager localCheckpoint pin — an eager
-        # pin is a second serialized driver action whose scheduling
-        # latency lands in the non-scaling constant f. This is the
-        # TARGET engine commit shape for the bucketed scale mode
-        # (the current CrawlEngine.step still pins eagerly per wave
-        # for checkpoint/lineage semantics at its byte-exact toy-scale
-        # gates — documented in BENCH/BASELINE.md "Job cadence").
-        pinned = []
-
-        def pin(df):
-            out = df.persist()
-            pinned.append(out)
-            return out
-
+        # The merge's anti-join result keeps the engine's EAGER
+        # localCheckpoint pin (one driver action before the fused
+        # commit below). A lazy persist was tried in round 5 to fuse
+        # the whole wave into one action and REVERTED after failing at
+        # 400M rows on local[2]: the seq-offsets broadcast exchange
+        # then recomputes the heavy anti-join inside its own broadcast
+        # job — racing the ranked branch for duplicate work (persist
+        # does not dedupe in-flight computation across concurrently
+        # submitted stages) and blowing the 300 s
+        # spark.sql.broadcastTimeout. Materializing the shared input
+        # before anything consumes it twice is the correct shape at
+        # every scale; the serialized action's cost is part of f and
+        # is already amortized by the fused two-leg commit.
+        pins = PinSet(spark)
         # unique job group per rep so the post-rep job count audits
         # exactly this rep's driver-action cadence (the scaling lever
         # the AQE-off conf targets; reported as jobs_per_rep)
@@ -373,7 +371,7 @@ def frontier_throughput(spark, warmup: bool = True, reps: int = 5) -> dict:
         t0 = time.time()
         sel = bf.select_wave(dc, wave_size=100_000, per_host_budget=4)
         # max_seq is tracked engine state metadata, not a per-wave agg
-        merged = bf.merge(cand, pin=pin, base=FRONTIER_ROWS)
+        merged = bf.merge(cand, pin=pins.pin, base=FRONTIER_ROWS)
         # ONE fused driver action for both wave pipelines (an engine
         # commits a wave as one job): counting them separately serializes
         # two driver actions whose fixed planning/scheduling latency does
@@ -395,8 +393,7 @@ def frontier_throughput(spark, warmup: bool = True, reps: int = 5) -> dict:
         dt = time.time() - t0
         sc.setJobGroup("", "")
         n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
-        for df in pinned:
-            df.unpersist()
+        pins.release_all()
         counts = {r["leg"]: r["n"] for r in rows}
         # .get: a tiny BENCH_FRONTIER_ROWS override can leave a leg
         # empty, which yields no group row rather than an n=0 row
