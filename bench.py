@@ -47,6 +47,7 @@ HEADLINE = [
     "events_sessionize",
     "frontier_priority_topk",
     "image_metadata_stats",
+    "jpeg_codec_roundtrip",
     "image_validate_summary",
     "image_phash_near_dups",
     "trigrams_bounded",

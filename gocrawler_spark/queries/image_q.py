@@ -29,6 +29,10 @@ from pyspark.sql import functions as F
 
 from gocrawler_spark.fixtures import media_feats as MF
 from gocrawler_spark.fixtures.image_phash import PHASH_VALUES_SQL
+from gocrawler_spark.fixtures.jpeg_roundtrip import (
+    N_JPEG,
+    ROUNDTRIP_VALUES_SQL as JPEG_ROUNDTRIP_VALUES_SQL,
+)
 from gocrawler_spark.fixtures.image_exposure import EXPOSURE_VALUES_SQL
 from gocrawler_spark.fixtures.image_probe import PROBE_VALUES_SQL
 from gocrawler_spark.fixtures.image_sharp import SHARP_VALUES_SQL
@@ -106,6 +110,72 @@ def images_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(gen, IM.IMAGE_SCHEMA)
+
+
+@register(
+    "jpeg_codec_roundtrip",
+    f"""
+    SELECT CAST(d.doc_id AS VARCHAR) AS image_id,
+           CAST(16 + d.doc_id % 49 AS INT) AS w,
+           CAST(16 + (d.doc_id * 7) % 49 AS INT) AS h,
+           CAST(f.bytes_len AS BIGINT) AS bytes_len,
+           CAST(f.psnr_milli AS BIGINT) AS psnr_milli,
+           f.psnr_milli >= 40000 AS psnr_ok
+    FROM documents d
+    JOIN (VALUES {JPEG_ROUNDTRIP_VALUES_SQL}) f(did, bytes_len, psnr_milli)
+      ON d.doc_id = f.did
+    WHERE d.doc_id < {N_JPEG}
+    """,
+)
+def jpeg_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG through the payload chain (round-5): one
+    ITU-T T.81 JFIF payload per doc (functions/jpeg.py — the same
+    codec the fmt='jpg' decode seam falls back to, interop-pinned
+    against third-party encoders in tests/test_jpeg_codec.py),
+    encode → decode → PSNR computed inside mapInPandas workers. The
+    oracle joins the pinned per-doc constants (payload size, PSNR)
+    against documents and re-derives dims + the input_hint 40 dB gate
+    in SQL, so any drift in DCT/quantization/Huffman/color math fails
+    the driver's value hash."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < N_JPEG)
+        .select("doc_id")
+    )
+
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gocrawler_spark.functions import jpeg as J
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = int(r.doc_id)
+                w, h = 16 + d % 49, 16 + (d * 7) % 49
+                px = SI.render_pixels(str(d), w, h)
+                data = J.encode_baseline_jpeg(px)
+                psnr = SI.psnr_db(px, SI.decode_image(data, "jpg"))
+                rows.append(
+                    {
+                        "image_id": str(d),
+                        "w": w,
+                        "h": h,
+                        "bytes_len": len(data),
+                        "psnr_milli": int(round(psnr * 1000)),
+                        "psnr_ok": bool(round(psnr * 1000) >= 40000),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "w", "h", "bytes_len", "psnr_milli", "psnr_ok",
+                ],
+            )
+
+    return docs.mapInPandas(
+        rt,
+        "image_id string, w int, h int, bytes_len long, "
+        "psnr_milli long, psnr_ok boolean",
+    )
 
 
 @register(

@@ -19,10 +19,13 @@ Codecs (this container has no PIL/libjpeg/ffmpeg — FIXTURES.md §3):
   pixels, then PNG-container packing. Max per-channel error q/2 ⇒
   PSNR >= 20*log10(255/(q/2/sqrt(3))) — q=4 gives ~47 dB, safely
   above the 40 dB gate, deterministically.
-- real JPEG decode is stubbed behind an import-try of PIL
-  (:func:`decode_jpeg`) and raises NotImplementedError here; the
-  Spark-side plumbing (schema, batching, UDF signature) is identical
-  either way.
+- ``jpg``  — REAL baseline JPEG (round 5): :func:`decode_jpeg`
+  prefers PIL/libjpeg when importable and otherwise uses the in-repo
+  pure-Python ITU-T T.81 baseline codec (functions/jpeg.py), whose
+  decoder is interop-pinned against third-party-encoded fixtures
+  (4:2:0 color + grayscale). :func:`encode_jpeg` emits 4:4:4 JFIF at
+  quality 98 (measured ≥ ~43 dB over the generator distribution).
+  Non-baseline streams (progressive, arithmetic) fail loudly.
 
 The reference crawler *bans* image URLs (crawler.yaml:3
 regexLinkBannedTokens: ``.png|.jpg|.gif``); images+captions are the
@@ -222,21 +225,38 @@ def decode_qjpg(data: bytes) -> np.ndarray:
     return decode_png(rest)
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:  # pragma: no cover - stub
-    """Real JPEG decode — unavailable in this container (no PIL /
-    libjpeg). The plumbing (schema/UDF/batching) is format-agnostic;
-    swap this in when the dependency exists."""
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Real JPEG decode. Prefers PIL/libjpeg when importable (the
+    native fast path a deployment would use); otherwise falls back to
+    the in-repo pure-Python baseline decoder
+    (functions/jpeg.py, ITU-T T.81 from the public spec — interop
+    pinned against third-party-encoded fixtures). Either way fmt='jpg'
+    payloads run the same decode → PSNR → phash chain; a
+    non-baseline stream (progressive etc.) fails loudly in the
+    fallback rather than decoding wrong."""
     try:
         import io
 
         from PIL import Image  # type: ignore
 
         return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
-    except ImportError as e:
-        raise NotImplementedError(
-            "real JPEG decode needs PIL/libjpeg (not in this container); "
-            "use fmt='qjpg' (deterministic lossy stand-in)"
-        ) from e
+    except ImportError:
+        from gocrawler_spark.functions.jpeg import decode_baseline_jpeg
+
+        return decode_baseline_jpeg(data)
+
+
+def encode_jpeg(px: np.ndarray, quality: int | None = None) -> bytes:
+    """Real baseline JFIF encode (functions/jpeg.py). Default quality
+    is PAYLOAD_QUALITY=98: measured worst-case roundtrip PSNR over the
+    synthetic generator distribution is ~43.7 dB — above the
+    input_hint 40 dB gate with margin (q95 is NOT: ~36 dB against the
+    generator's ±16 high-frequency noise)."""
+    from gocrawler_spark.functions import jpeg as J
+
+    return J.encode_baseline_jpeg(
+        px, J.PAYLOAD_QUALITY if quality is None else quality
+    )
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:

@@ -23,7 +23,12 @@ from gocrawler_spark.sources.synthetic_web import _sentence, h64
 _FAKE_PIL = '''\
 """Stand-in PIL for the codec-contract test: implements exactly the
 surface decode_jpeg uses (Image.open(file_obj).convert("RGB") ->
-array-like). Decodes the repo's deterministic qjpg container."""
+array-like). Decodes the repo's deterministic qjpg container; any
+other payload is handed to the real in-repo baseline JPEG decoder so
+a session that injected this module can still decode REAL fmt='jpg'
+payloads (addPyFile persists for the session and test modules share
+the Spark session in either order)."""
+from gocrawler_spark.functions.jpeg import decode_baseline_jpeg
 from gocrawler_spark.sources.synthetic_images import decode_qjpg
 
 
@@ -39,7 +44,11 @@ class _Img:
 class _ImageModule:
     @staticmethod
     def open(fp):
-        return _Img(decode_qjpg(fp.read()))
+        data = fp.read()
+        try:
+            return _Img(decode_qjpg(data))
+        except ValueError:
+            return _Img(decode_baseline_jpeg(data))
 
 
 Image = _ImageModule()
@@ -124,12 +133,16 @@ def test_jpg_payloads_enrich_through_unchanged_chain(jpeg_session):
     assert all(r["lapvar_milli"] >= 0 for r in sharp)
 
 
-def test_without_codec_the_stub_fails_loudly(spark):
-    """Control: in a worker WITHOUT the injected module the seam raises
-    NotImplementedError (not a silent wrong answer). Checked
-    driver-side by simulating the absent import."""
+def test_without_pil_the_seam_decodes_via_spec_codec(spark):
+    """Without PIL the seam no longer dead-ends: it falls back to the
+    in-repo ITU-T T.81 baseline decoder (round-5), bit-identical to
+    calling it directly — and still fails LOUDLY (ValueError, never a
+    silent wrong answer) on bytes that are not a baseline JPEG.
+    Checked driver-side by simulating the absent import."""
     import builtins
     import sys
+
+    from gocrawler_spark.functions.jpeg import decode_baseline_jpeg
 
     real_import = builtins.__import__
     saved = {k: sys.modules.pop(k) for k in list(sys.modules) if k == "PIL"}
@@ -141,8 +154,66 @@ def test_without_codec_the_stub_fails_loudly(spark):
 
     builtins.__import__ = no_pil
     try:
-        with pytest.raises(NotImplementedError, match="qjpg"):
+        px = SI.render_pixels("seam-fallback", 16, 8)
+        data = SI.encode_jpeg(px)
+        assert np.array_equal(SI.decode_jpeg(data), decode_baseline_jpeg(data))
+        with pytest.raises(ValueError):
             SI.decode_jpeg(b"\xff\xd8\xff\xe0 not really a jpeg")
     finally:
         builtins.__import__ = real_import
         sys.modules.update(saved)
+
+
+def _real_jpg_rows(n=6, w=24, h=16, seed=42):
+    """fmt='jpg' rows whose payloads are REAL baseline JFIF bytes from
+    the in-repo spec encoder — no stand-in anywhere in the chain."""
+    rows = []
+    for i in range(n):
+        iid = f"img-realjpg-{i}"
+        px = SI.render_pixels(iid, w, h, seed)
+        data = SI.encode_jpeg(px)
+        decoded = SI.decode_image(bytes(data), "jpg")
+        rows.append(
+            {
+                "image_id": iid,
+                "bytes": bytearray(data),
+                "w": w,
+                "h": h,
+                "fmt": "jpg",
+                "caption": _sentence(h64(iid, "cap", seed=seed), 12, 4, 3),
+                "phash": np.int64(SI.ahash64(decoded)).item(),
+            }
+        )
+    return rows
+
+
+def test_real_jpeg_payloads_validate_through_unchanged_chain(spark):
+    """The round-4 residual gap closed: fmt='jpg' payloads that are
+    REAL interchange-format baseline JPEGs run the unchanged
+    decode → PSNR-validate → phash chain in the workers — no injected
+    stand-in, no qjpg container — and clear the input_hint 40 dB
+    lossy floor (encoder default quality 98)."""
+    df = spark.createDataFrame(
+        pd.DataFrame(_real_jpg_rows()),
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    got = IM.validate_images(df).collect()
+    assert len(got) == 6
+    for r in got:
+        assert r["decode_ok"] and r["dims_ok"], r
+        assert r["pixels_ok"] and r["caption_ok"] and r["phash_ok"], r
+        assert r["psnr_db"] is not None and r["psnr_db"] >= 40.0, r
+
+
+def test_real_jpeg_payloads_enrich_through_unchanged_chain(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(_real_jpg_rows()),
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    feats = IM.grid_features(df).collect()
+    assert len(feats) == 6 and all(len(r["feat"]) == 16 for r in feats)
+    sharp = IM.score_sharpness(df).collect()
+    assert {r["fmt"] for r in sharp} == {"jpg"}
+    assert all(r["lapvar_milli"] >= 0 for r in sharp)
