@@ -98,3 +98,54 @@ def exclusive_prefix_sum(
         .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("long"))
         .drop("__bucket", "__lo", "__hi", "__local")
     )
+
+
+def total_order_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    out_col: str = "rnk",
+    n_parts: int | None = None,
+    pin=None,
+) -> DataFrame:
+    """``row_number() OVER (ORDER BY ...)`` without the global window's
+    single-partition WindowExec — the same decomposition as
+    exclusive_prefix_sum, for composite/non-numeric sort keys:
+
+    1. ``repartitionByRange`` on the order expressions — partition i
+       holds a contiguous key range ordered before partition i+1's;
+    2. rank WITHIN each range partition (window partitioned by
+       ``spark_partition_id()`` — fully parallel);
+    3. global offset per partition = rows in all earlier partitions,
+       via a broadcast theta-join over ONE ROW PER PARTITION.
+
+    The repartitioned frame is PINNED before fan-out (``pin``,
+    default eager localCheckpoint): range boundaries come from a
+    sampling pass, and the rank and count branches must see the SAME
+    boundaries — relying on Catalyst's exchange reuse to guarantee
+    that would be a silent-wrong-answer hazard, not an optimization.
+
+    Ranks equal the global window's whenever the order key is unique
+    (row_number over ties is ambiguous either way — same documented
+    precondition as exclusive_prefix_sum)."""
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    if pin is None:
+        pin = lambda d: d.localCheckpoint(eager=True)  # noqa: E731
+    srt = pin(df.repartitionByRange(n_parts, *order_by))
+    part = srt.withColumn("__pid", F.spark_partition_id())
+    local = part.withColumn(
+        "__local", F.row_number().over(Window.partitionBy("__pid").orderBy(*order_by))
+    )
+    cnt = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    prior = cnt.select(F.col("__pid").alias("__p2"), F.col("__n").alias("__n2"))
+    offsets = (
+        cnt.join(F.broadcast(prior), F.col("__p2") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__n2"), F.lit(0)).alias("__off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__local") + F.col("__off")).cast("long"))
+        .drop("__pid", "__local", "__off")
+    )

@@ -370,11 +370,18 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize each iteration: bounded lineage, and the next
         # join reads a table instead of replaying the whole prefix
         pr = pr.localCheckpoint(eager=True)
-    rw = Window.orderBy(F.desc("pr"), F.asc("node"))
-    return pr.select(
+    # total-order rank over ALL nodes: a bare Window.orderBy funnels
+    # every node through one task (fine at toy SF, a wall at 1e9
+    # nodes); total_order_rank range-partitions the sort so each task
+    # ranks ~n/parts nodes and only per-partition counts cross tasks
+    from gocrawler_spark.operators.prefix import total_order_rank
+
+    return total_order_rank(
+        pr, [F.desc("pr"), F.asc("node")], out_col="rnk"
+    ).select(
         "node",
         F.col("pr").alias("pr_micro"),
-        F.row_number().over(rw).cast("long").alias("rnk"),
+        F.col("rnk").cast("long").alias("rnk"),
     )
 
 

@@ -85,3 +85,62 @@ def test_packing_queries_still_match_oracle(spark):
     for name in ("sequence_packing", "image_shard_packing"):
         ok, msg = compare(spark, sf, QUERIES[name], ORACLES[name])
         assert ok, f"{name}: {msg}"
+
+
+def _rank_global(df, cols):
+    w = Window.orderBy(*cols)
+    return df.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def test_total_order_rank_matches_global_window(spark):
+    """total_order_rank == row_number() over the global ORDER BY on a
+    composite desc/asc key (unique per row), including clustered and
+    negative values."""
+    from gocrawler_spark.operators.prefix import total_order_rank
+
+    rng = random.Random(11)
+    rows = [
+        Row(pr=rng.randrange(-50, 50), node=i)  # pr ties, node unique
+        for i in rng.sample(range(10_000), 700)
+    ]
+    df = spark.createDataFrame(rows, "pr long, node long")
+    cols = [F.desc("pr"), F.asc("node")]
+    got = {
+        (r["pr"], r["node"]): r["rnk"]
+        for r in total_order_rank(df, cols, n_parts=8).collect()
+    }
+    want = {
+        (r["pr"], r["node"]): r["rnk"] for r in _rank_global(df, cols).collect()
+    }
+    assert got == want and len(got) == 700
+
+
+def test_total_order_rank_plan_has_no_unpartitioned_window(spark):
+    from gocrawler_spark.operators.prefix import total_order_rank
+
+    df = spark.range(500).select(
+        (F.col("id") % 97).alias("pr"), F.col("id").alias("node")
+    )
+    out = total_order_rank(df, [F.desc("pr"), F.asc("node")], n_parts=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    windows = re.findall(r"Window \[[^\]]*\], (\[[^\]]*\])", plan)
+    assert windows and all(w != "[]" for w in windows), plan
+
+
+def test_events_pagerank_plan_has_no_unpartitioned_window(spark):
+    """The pagerank total-order ranking (the one remaining row-scale
+    global window in the query surface) now goes through
+    total_order_rank — assert the executed plan carries no
+    unpartitioned WindowExec."""
+    import os
+    import re
+
+    from gocrawler_spark.queries import QUERIES
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    out = QUERIES["events_pagerank"](spark, sf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    windows = re.findall(r"Window \[[^\]]*\], (\[[^\]]*\])", plan)
+    assert all(w != "[]" for w in windows), plan
